@@ -1,0 +1,60 @@
+"""Command-line entry point preserving the reference's positional CLI.
+
+Reference usage (README.md:50, Main.cpp:692-900)::
+
+    WACV2022 0 rgb/ gt/ baseline/ result/
+
+Here::
+
+    python -m panodepth 0 rgb/ gt/ baseline/ result/ [options]
+
+Command ``0`` runs the full CreateDepthPanoramas batch: stage-A perspective
+view extraction + per-panorama registration/fusion/scoring.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from .config import MergeConfig
+from .pipeline import run_batch
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="panodepth",
+        description="TPU-native high-resolution panorama depth estimation",
+    )
+    p.add_argument("cmd", choices=["0"], help="0 = CreateDepthPanoramas")
+    p.add_argument("rgb_folder")
+    p.add_argument("gt_folder")
+    p.add_argument("baseline_folder")
+    p.add_argument("result_folder")
+    p.add_argument("--layout", default="5fold_leres",
+                   choices=["5fold_leres", "5fold_midas", "4fold", "3fold"])
+    p.add_argument("--out-width", type=int, default=2048)
+    p.add_argument("--views-folder", default="test_images")
+    p.add_argument("--dataset", default="matterport",
+                   choices=["matterport", "stanford2d3d", "suncg", "replica"])
+    p.add_argument("--pmap-ext", default=".jpg")
+    p.add_argument("--no-extract", action="store_true",
+                   help="skip stage-A RGB view extraction")
+    p.add_argument("--jacobi", default="auto", choices=["auto", "jnp", "pallas"])
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    cfg = MergeConfig(layout_name=args.layout, out_width=args.out_width)
+    run_batch(
+        args.rgb_folder, args.gt_folder, args.baseline_folder,
+        args.result_folder, cfg,
+        views_folder=args.views_folder, dataset=args.dataset,
+        extract_rgb_views=not args.no_extract, pmap_ext=args.pmap_ext,
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

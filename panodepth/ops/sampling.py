@@ -1,0 +1,78 @@
+"""Image sampling with the reference's exact nearest-neighbor semantics.
+
+The reference samples *everything* nearest-neighbor via C float->int casts
+(truncation), never bilinear:
+
+* ``PerspectiveMap::Value``        (reference Depth.cpp:111-118):
+  ``X = (int)(x * (w-1)); Y = (int)(y * (h-1))``
+* ``EquirectangularMap::ValueAtCoord`` (reference Depth.cpp:551-556):
+  ``x = (int)(azi / 2pi * (w-1)); y = (int)(zen / pi * (h-1))``
+
+These are preserved bit-for-bit here (truncate-toward-zero then clip, which
+is identical on the in-range inputs the reference feeds them).  Bilinear
+sampling is provided for the stage-A RGB warp, where the reference instead
+relied on GL_LINEAR texture filtering (SphereMesh.cpp:58-88).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+TWO_PI = 2.0 * np.pi
+
+
+def _trunc_index(v, n, xp):
+    """C-style (int) cast of ``v`` expected in [0, n-1], then clip."""
+    idx = v.astype(jnp.int32) if xp is jnp else v.astype(np.int32)
+    return xp.clip(idx, 0, n - 1)
+
+
+def sample_unit_nearest(img, x, y, xp=jnp):
+    """pmap.Value: sample channel-0 of ``img`` (H, W[, C]) at unit coords.
+
+    ``x``/``y`` are arrays in [0, 1]; index = trunc(x * (W-1)).
+    """
+    if img.ndim == 3:
+        img = img[..., 0]
+    h, w = img.shape
+    xi = _trunc_index(x * (w - 1), w, xp)
+    yi = _trunc_index(y * (h - 1), h, xp)
+    return img[yi, xi]
+
+
+def sample_equirect_nearest(img, azimuth, zenith, xp=jnp):
+    """emap.ValueAtCoord: sample an equirect map (H, W[, C]) at spherical coords."""
+    if img.ndim == 3:
+        img = img[..., 0]
+    h, w = img.shape
+    xi = _trunc_index(azimuth / TWO_PI * (w - 1), w, xp)
+    yi = _trunc_index(zenith / np.pi * (h - 1), h, xp)
+    return img[yi, xi]
+
+
+def sample_equirect_bilinear(img, azimuth, zenith):
+    """Bilinear equirect sampling with azimuth wraparound (stage-A RGB warp).
+
+    ``img`` is (H, W) or (H, W, C); zenith clamps at the poles, azimuth wraps.
+    Texel centers follow the same (w-1)/(h-1) convention as the nearest path
+    so the two modes agree at exact pixel positions.
+    """
+    squeeze = img.ndim == 2
+    if squeeze:
+        img = img[..., None]
+    h, w = img.shape[:2]
+    fx = (azimuth % TWO_PI) / TWO_PI * (w - 1)
+    fy = jnp.clip(zenith / np.pi * (h - 1), 0.0, h - 1)
+    x0 = jnp.floor(fx).astype(jnp.int32)
+    y0 = jnp.floor(fy).astype(jnp.int32)
+    wx = (fx - x0)[..., None]
+    wy = (fy - y0)[..., None]
+    x0 = jnp.clip(x0, 0, w - 1)
+    x1 = (x0 + 1) % w  # azimuth wraps at the seam
+    y0 = jnp.clip(y0, 0, h - 1)
+    y1 = jnp.clip(y0 + 1, 0, h - 1)
+    top = img[y0, x0] * (1 - wx) + img[y0, x1] * wx
+    bot = img[y1, x0] * (1 - wx) + img[y1, x1] * wx
+    out = top * (1 - wy) + bot * wy
+    return out[..., 0] if squeeze else out

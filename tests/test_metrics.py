@@ -1,0 +1,83 @@
+"""Metric parity vs the literal reference ErrorEmap implementation."""
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from panodepth import metrics as pmetrics
+
+from reference_impl import ref_error_emap
+
+
+def _scene():
+    rng = np.random.RandomState(7)
+    gt = rng.uniform(0.05, 0.9, (32, 64)).astype(np.float32)
+    gt[rng.rand(32, 64) < 0.05] = 0.0  # invalid gt pixels to skip
+    given = np.clip(gt * 0.8 + 0.05 + rng.normal(0, 0.02, gt.shape), 0, 1)
+    return gt, given.astype(np.float32)
+
+
+@pytest.mark.parametrize("align_way", [0, 1, 2])
+@pytest.mark.parametrize("cap_depth", [True, False])
+def test_error_metrics_matches_reference(align_way, cap_depth):
+    gt, given = _scene()
+    fast = pmetrics.error_metrics(jnp.asarray(gt), jnp.asarray(given),
+                                  align_way=align_way, cap_depth=cap_depth)
+    slow = ref_error_emap(gt, given, align_way=align_way, cap_depth=cap_depth)
+    for k in ("mse", "mae", "mre", "mselog", "delta1", "delta2", "delta3"):
+        np.testing.assert_allclose(float(fast[k]), slow[k], rtol=2e-4,
+                                   err_msg=k)
+    if align_way == 1:
+        np.testing.assert_allclose(float(fast["median_shift_factor"]),
+                                   slow["median_shift_factor"], rtol=1e-5)
+    if align_way == 2:
+        np.testing.assert_allclose(np.asarray(fast["least_square"]),
+                                   slow["least_square"], rtol=2e-4)
+
+
+def test_error_metrics_different_resolutions():
+    gt, given = _scene()
+    gt_big = np.kron(gt, np.ones((2, 2), np.float32))  # 64x128 gt
+    fast = pmetrics.error_metrics(jnp.asarray(gt_big), jnp.asarray(given),
+                                  align_way=1, cap_depth=True)
+    slow = ref_error_emap(gt_big, given, align_way=1, cap_depth=True)
+    np.testing.assert_allclose(float(fast["mse"]), slow["mse"], rtol=2e-4)
+    np.testing.assert_allclose(float(fast["delta1"]), slow["delta1"],
+                               rtol=1e-6)
+
+
+def test_perfect_prediction():
+    gt, _ = _scene()
+    res = pmetrics.error_metrics(jnp.asarray(gt), jnp.asarray(gt),
+                                 align_way=0, cap_depth=False)
+    assert float(res["mse"]) == 0.0
+    # XLA lowers division to reciprocal-multiply, so n/n may be 1 - 1ulp
+    assert float(res["delta1"]) > 1.0 - 1e-6
+
+
+def test_median_scaling_matches_reference_semantics():
+    rng = np.random.RandomState(9)
+    e0 = rng.uniform(0.1, 0.8, (16, 16)).astype(np.float32)
+    e1 = (e0 * 2.0).clip(0, 0.95).astype(np.float32)
+    scaled, m0, m1 = pmetrics.median_scaling(jnp.asarray(e0), jnp.asarray(e1))
+    v0 = sorted(v for v in e0.flatten() if 1e-4 <= v < 1 - 1e-4)
+    v1 = sorted(v for v in e1.flatten() if 1e-4 <= v < 1 - 1e-4)
+    np.testing.assert_allclose(float(m0), v0[len(v0) // 2], rtol=1e-6)
+    np.testing.assert_allclose(float(m1), v1[len(v1) // 2], rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(scaled), e0 * (float(m1) / float(m0)),
+                               rtol=1e-5)
+
+
+def test_metrics_save_format(tmp_path):
+    m = pmetrics.Metrics(mse_given=0.01, mse_result=0.008, mae_given=0.05,
+                         mae_result=0.04, delta1_given=0.9, delta1_result=0.95)
+    f = tmp_path / "x.aligned.txt"
+    m.save(str(f))
+    text = f.read_text()
+    assert "mse_given: 0.010000" in text
+    assert "mse diff: -0.200000" in text
+    assert "delta3_given: 0.000000" in text
+    # delta3 diff gated on delta1_given != 0 (reference quirk, Depth.h:238)
+    assert "delta3 diff:" in text

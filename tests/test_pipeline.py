@@ -1,0 +1,158 @@
+"""End-to-end pipeline tests: files in -> fused 16-bit panorama + metrics out."""
+
+import math
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from panodepth import io as pio
+from panodepth import pipeline
+from panodepth.config import MergeConfig
+
+from conftest import make_equirect, smooth_depth
+
+
+@pytest.fixture(scope="module")
+def scene_files(tmp_path_factory):
+    """Synthetic dataset on disk: rgb/, gt/, baseline/, views/."""
+    from panodepth import geometry
+
+    root = tmp_path_factory.mktemp("scene")
+    cfg = MergeConfig(layout_name="test2", out_width=128)
+    layout = cfg.layout
+    for d in ("rgb", "gt", "baseline", "result", "views"):
+        os.makedirs(root / d, exist_ok=True)
+
+    name = "pano_0001"
+
+    # true scene = smooth field + mild detail; the baseline additionally
+    # carries a mid-frequency *artifact* (a bad panoramic CNN) that fusion
+    # should erase in view-covered regions by re-imposing the clean views'
+    # Laplacians (the paper's use case)
+    def detail_depth(azi, zen):
+        return np.clip(
+            smooth_depth(azi, zen)
+            + 0.03 * np.sin(5 * azi) * np.sin(4 * zen), 0, 1
+        ).astype(np.float32)
+
+    def artifact_depth(azi, zen):
+        return np.clip(
+            smooth_depth(azi, zen) * 0.9 + 0.03
+            + 0.08 * np.sin(6 * azi) * np.sin(5 * zen), 0, 1
+        ).astype(np.float32)
+
+    # gt: 16-bit png of the true field
+    gt = make_equirect(256, 128, detail_depth)
+    pio.save_png16(str(root / "gt" / f"{name}.png"), pio.to_uint16(gt))
+    # baseline: distorted + artifact-ridden, 16-bit png
+    base = make_equirect(128, 64, artifact_depth)
+    pio.save_png16(str(root / "baseline" / f"{name}.jpg.png"),
+                   pio.to_uint16(base))
+    # run_batch's default (bifuse) convention expects <raw>.jpg
+    pio.save_jpg(str(root / "baseline" / f"{name}.jpg"), base)
+    # rgb panorama (8-bit), content irrelevant to stage C
+    rgb = np.stack([make_equirect(64, 32)] * 3, -1)
+    pio.save_jpg(str(root / "rgb" / f"{name}.jpg"), rgb)
+    # perspective depth views, 16-bit png
+    pmap_files = []
+    for v in range(layout.num_views):
+        win = geometry.make_window(*layout.fovs[v], xp=np)
+        w, h = 160, 120
+        xg, yg = np.meshgrid(np.arange(w) / (w - 1), np.arange(h) / (h - 1))
+        azi, zen = geometry.xy_to_spherical(win, xg, yg, xp=np)
+        true = detail_depth(azi, zen)
+        pm = np.clip(true * (0.8 + 0.05 * v) + 0.05, 0, 1)
+        f = str(root / "views" / f"{name}.{layout.view_tag(v)}.png")
+        pio.save_png16(f, pio.to_uint16(pm))
+        pmap_files.append(f)
+    return dict(root=root, cfg=cfg, name=name, pmap_files=pmap_files,
+                gt=gt, base=base)
+
+
+def test_merge_depth_maps_end_to_end(scene_files):
+    root = scene_files["root"]
+    cfg = scene_files["cfg"]
+    out_file = str(root / "result" / "pano_0001.png")
+    res = pipeline.merge_depth_maps(
+        str(root / "baseline" / "pano_0001.jpg.png"),
+        scene_files["pmap_files"], out_file, cfg,
+        gt_filename=str(root / "gt" / "pano_0001.png"),
+    )
+    assert os.path.exists(out_file)
+    out = pio.load_image01(out_file)
+    assert out.shape == (64, 128)
+    assert res.metrics is not None
+    # fused result must beat the distorted baseline on RMSE
+    assert res.metrics.mse_result < res.metrics.mse_given
+    assert 0 < res.metrics.delta1_given <= 1
+    # masked variants written
+    assert os.path.exists(out_file + ".res.png")
+    assert os.path.exists(out_file + ".giv.png")
+
+
+def test_png16_roundtrip_exact(tmp_path):
+    rng = np.random.RandomState(0)
+    data = rng.randint(0, 65536, (16, 32)).astype(np.uint16)
+    f = str(tmp_path / "x.png")
+    pio.save_png16(f, data)
+    back = np.asarray(pio.load_image01(f) * 65535.0 + 0.5).astype(np.uint16)
+    np.testing.assert_array_equal(back, data)
+
+
+def test_pfm_roundtrip(tmp_path):
+    rng = np.random.RandomState(1)
+    img = rng.rand(8, 12).astype(np.float32) * 5
+    f = str(tmp_path / "x.pfm")
+    pio.save_pfm(f, img)
+    back = pio.load_pfm(f)
+    np.testing.assert_array_equal(back, img)
+    # Load() semantics: cap at 0, divide by 10
+    loaded = pio.load_image01(f)
+    np.testing.assert_allclose(loaded, np.minimum(np.maximum(img, 0) / 10, 10),
+                               atol=1e-7)
+
+
+def test_filename_conventions():
+    from panodepth.config import five_fold_leres
+
+    assert pio.baseline_filename("b/", "x", "out_slicenet/") == \
+        os.path.join("b/", "x.jpg.slicenet.png")
+    assert pio.baseline_filename("b/", "x", "unifuse_res/") == \
+        os.path.join("b/", "x.unifuse.jpg")
+    assert pio.baseline_filename("b/", "x", "hohonet/") == \
+        os.path.join("b/", "x.depth.png")
+    assert pio.baseline_filename("b/", "x", "plain/") == \
+        os.path.join("b/", "x.jpg")
+    assert pio.gt_filename("g/", "area_rgb_1") == \
+        os.path.join("g/", "area_depth_1.png")
+    assert pio.gt_filename("g/", "scene_rgb", "replica") == \
+        os.path.join("g/", "scene_depth.pfm")
+    layout = five_fold_leres()
+    fns = pio.pmap_filenames("v/", "img", layout)
+    assert fns[0] == os.path.join("v/", "img.-3_75_18_94.jpg")
+    assert len(fns) == 15
+
+
+def test_run_batch_resume(scene_files, capsys):
+    """Second run must skip the already-produced panorama."""
+    root = scene_files["root"]
+    cfg = scene_files["cfg"]
+    logs = []
+    # pmaps live in views/ as .png
+    pipeline.run_batch(
+        str(root / "rgb"), str(root / "gt"), str(root / "baseline"),
+        str(root / "result2") + os.sep, cfg,
+        views_folder=str(root / "views"), extract_rgb_views=False,
+        pmap_ext=".png", log=logs.append,
+    )
+    assert os.path.exists(str(root / "result2") + os.sep + "pano_0001.png")
+    logs2 = []
+    pipeline.run_batch(
+        str(root / "rgb"), str(root / "gt"), str(root / "baseline"),
+        str(root / "result2") + os.sep, cfg,
+        views_folder=str(root / "views"), extract_rgb_views=False,
+        pmap_ext=".png", log=logs2.append,
+    )
+    assert any("skip" in l for l in logs2)

@@ -1,0 +1,67 @@
+"""Nearest/bilinear sampling semantics vs the reference's int-cast lookups."""
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+
+from panodepth.ops import sampling
+
+from reference_impl import emap_value_at_coord, RefPerspectiveMap
+
+
+def test_unit_nearest_matches_reference():
+    rng = np.random.RandomState(0)
+    img = rng.rand(17, 23).astype(np.float32)
+    ref = RefPerspectiveMap(img, (0.1, 1.2, 0.8, 2.0), (0, 1, 0, 1))
+    xs = rng.uniform(0, 1, 200)
+    ys = rng.uniform(0, 1, 200)
+    fast = np.asarray(sampling.sample_unit_nearest(jnp.asarray(img),
+                                                   jnp.asarray(xs),
+                                                   jnp.asarray(ys)))
+    slow = np.array([ref.value(x, y) for x, y in zip(xs, ys)])
+    np.testing.assert_array_equal(fast, slow)
+
+
+def test_equirect_nearest_matches_reference():
+    rng = np.random.RandomState(1)
+    img = rng.rand(32, 64).astype(np.float32)
+    azi = rng.uniform(0, 2 * math.pi, 300)
+    zen = rng.uniform(0, math.pi, 300)
+    fast = np.asarray(sampling.sample_equirect_nearest(jnp.asarray(img),
+                                                       jnp.asarray(azi),
+                                                       jnp.asarray(zen)))
+    slow = np.array([emap_value_at_coord(img, a, z) for a, z in zip(azi, zen)])
+    np.testing.assert_array_equal(fast, slow)
+
+
+def test_equirect_nearest_multichannel():
+    img = np.stack([np.full((8, 16), 0.25), np.full((8, 16), 0.75)], -1)
+    v = sampling.sample_equirect_nearest(jnp.asarray(img), jnp.asarray([1.0]),
+                                         jnp.asarray([1.0]))
+    assert float(v[0]) == 0.25  # channel 0, like the reference
+
+
+def test_bilinear_agrees_with_nearest_at_pixel_centers():
+    rng = np.random.RandomState(2)
+    img = rng.rand(16, 32).astype(np.float32)
+    w, h = 32, 16
+    xi = np.arange(1, w - 1)
+    yi = np.arange(1, h - 1)
+    xg, yg = np.meshgrid(xi, yi)
+    azi = xg / (w - 1) * 2 * math.pi
+    zen = yg / (h - 1) * math.pi
+    bil = np.asarray(sampling.sample_equirect_bilinear(
+        jnp.asarray(img), jnp.asarray(azi), jnp.asarray(zen)))
+    np.testing.assert_allclose(bil, img[yg, xg], atol=1e-5)
+
+
+def test_bilinear_interpolates():
+    img = np.zeros((4, 8), np.float32)
+    img[:, 4] = 1.0
+    # halfway between column 3 and 4 in azimuth
+    azi = (3.5 / 7) * 2 * math.pi
+    v = sampling.sample_equirect_bilinear(jnp.asarray(img),
+                                          jnp.asarray([azi]),
+                                          jnp.asarray([math.pi / 2]))
+    np.testing.assert_allclose(float(v[0]), 0.5, atol=1e-6)
