@@ -1,0 +1,367 @@
+// panodepth native IO: 16-bit grayscale PNG codec + PFM + threaded prefetch.
+//
+// TPU-native replacement for the reference's stb_image (Main.cpp:17-22) and
+// OpenCV imwrite (Depth.cpp:27-32) host-IO roles: the hot formats of the
+// pipeline (16-bit depth PNGs, PFM float maps) are decoded/encoded natively
+// and a pool of worker threads prefetches whole batches while the TPU is
+// busy.  Exposed as a C ABI for ctypes (no pybind11 dependency).
+//
+// PNG scope: greyscale/RGB/greyscale+alpha/RGBA, 8/16-bit, all five scanline
+// filters, non-interlaced (interlaced files are rejected).  Compression via
+// system zlib.
+
+#include <zlib.h>
+
+#include <atomic>
+#include <condition_variable>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <mutex>
+#include <queue>
+#include <string>
+#include <thread>
+#include <vector>
+
+namespace {
+
+// ---------------------------------------------------------------- helpers
+
+struct Bytes {
+  std::vector<uint8_t> d;
+  void u8(uint8_t v) { d.push_back(v); }
+  void u32(uint32_t v) {
+    d.push_back(v >> 24); d.push_back(v >> 16); d.push_back(v >> 8);
+    d.push_back(v);
+  }
+  void raw(const void* p, size_t n) {
+    const uint8_t* b = static_cast<const uint8_t*>(p);
+    d.insert(d.end(), b, b + n);
+  }
+};
+
+void png_chunk(Bytes& out, const char type[4], const uint8_t* data,
+               size_t len) {
+  out.u32(static_cast<uint32_t>(len));
+  size_t start = out.d.size();
+  out.raw(type, 4);
+  if (len) out.raw(data, len);
+  uint32_t crc = crc32(0, out.d.data() + start, static_cast<uInt>(len + 4));
+  out.u32(crc);
+}
+
+bool deflate_all(const std::vector<uint8_t>& in, std::vector<uint8_t>& out,
+                 int level) {
+  uLongf bound = compressBound(static_cast<uLong>(in.size()));
+  out.resize(bound);
+  if (compress2(out.data(), &bound, in.data(),
+                static_cast<uLong>(in.size()), level) != Z_OK)
+    return false;
+  out.resize(bound);
+  return true;
+}
+
+bool inflate_all(const uint8_t* in, size_t n, std::vector<uint8_t>& out) {
+  z_stream zs{};
+  if (inflateInit(&zs) != Z_OK) return false;
+  zs.next_in = const_cast<Bytef*>(in);
+  zs.avail_in = static_cast<uInt>(n);
+  std::vector<uint8_t> buf(1 << 20);
+  int ret = Z_OK;
+  while (ret != Z_STREAM_END) {
+    zs.next_out = buf.data();
+    zs.avail_out = static_cast<uInt>(buf.size());
+    ret = inflate(&zs, Z_NO_FLUSH);
+    if (ret != Z_OK && ret != Z_STREAM_END) { inflateEnd(&zs); return false; }
+    out.insert(out.end(), buf.data(), buf.data() + buf.size() - zs.avail_out);
+  }
+  inflateEnd(&zs);
+  return true;
+}
+
+int paeth(int a, int b, int c) {
+  int p = a + b - c, pa = abs(p - a), pb = abs(p - b), pc = abs(p - c);
+  if (pa <= pb && pa <= pc) return a;
+  if (pb <= pc) return b;
+  return c;
+}
+
+bool read_file(const char* path, std::vector<uint8_t>& out) {
+  FILE* fp = fopen(path, "rb");
+  if (!fp) return false;
+  fseek(fp, 0, SEEK_END);
+  long n = ftell(fp);
+  fseek(fp, 0, SEEK_SET);
+  out.resize(static_cast<size_t>(n));
+  bool ok = fread(out.data(), 1, out.size(), fp) == out.size();
+  fclose(fp);
+  return ok;
+}
+
+uint32_t rd32(const uint8_t* p) {
+  return (uint32_t(p[0]) << 24) | (uint32_t(p[1]) << 16) |
+         (uint32_t(p[2]) << 8) | uint32_t(p[3]);
+}
+
+}  // namespace
+
+extern "C" {
+
+// ------------------------------------------------------------- PNG encode
+
+// 16-bit single-channel PNG (the Save16BitPNG role, Depth.cpp:27-32).
+int pdio_write_png16(const char* path, const uint16_t* data, int width,
+                     int height, int level) {
+  Bytes png;
+  static const uint8_t sig[8] = {137, 80, 78, 71, 13, 10, 26, 10};
+  png.raw(sig, 8);
+  uint8_t ihdr[13];
+  ihdr[0] = width >> 24; ihdr[1] = width >> 16; ihdr[2] = width >> 8;
+  ihdr[3] = width; ihdr[4] = height >> 24; ihdr[5] = height >> 16;
+  ihdr[6] = height >> 8; ihdr[7] = height;
+  ihdr[8] = 16;  // bit depth
+  ihdr[9] = 0;   // greyscale
+  ihdr[10] = ihdr[11] = ihdr[12] = 0;
+  png_chunk(png, "IHDR", ihdr, 13);
+
+  std::vector<uint8_t> raw;
+  raw.reserve(static_cast<size_t>(height) * (1 + 2 * width));
+  for (int y = 0; y < height; y++) {
+    raw.push_back(0);  // filter: none
+    for (int x = 0; x < width; x++) {
+      uint16_t v = data[static_cast<size_t>(y) * width + x];
+      raw.push_back(v >> 8);
+      raw.push_back(v & 0xff);
+    }
+  }
+  std::vector<uint8_t> z;
+  if (!deflate_all(raw, z, level)) return -2;
+  png_chunk(png, "IDAT", z.data(), z.size());
+  png_chunk(png, "IEND", nullptr, 0);
+
+  FILE* fp = fopen(path, "wb");
+  if (!fp) return -1;
+  bool ok = fwrite(png.d.data(), 1, png.d.size(), fp) == png.d.size();
+  fclose(fp);
+  return ok ? 0 : -1;
+}
+
+// ------------------------------------------------------------- PNG decode
+
+// Decodes any supported PNG to float32 0~1 (channel-0 first), matching the
+// normalization of EquirectangularMap::Load (Depth.cpp:301-351): 8-bit /255,
+// 16-bit /65535.  Returns 0 on success; caller provides the buffer via
+// pdio_png_info + pdio_png_read.
+int pdio_png_info(const char* path, int* width, int* height, int* channels,
+                  int* bitdepth) {
+  std::vector<uint8_t> f;
+  if (!read_file(path, f) || f.size() < 33) return -1;
+  static const uint8_t sig[8] = {137, 80, 78, 71, 13, 10, 26, 10};
+  if (memcmp(f.data(), sig, 8) != 0) return -1;
+  if (memcmp(f.data() + 12, "IHDR", 4) != 0) return -1;
+  *width = static_cast<int>(rd32(f.data() + 16));
+  *height = static_cast<int>(rd32(f.data() + 20));
+  *bitdepth = f[24];
+  int color = f[25];
+  int ch = color == 0 ? 1 : color == 2 ? 3 : color == 4 ? 2 :
+           color == 6 ? 4 : -1;
+  if (ch < 0 || f[28] != 0 /*interlace*/) return -2;
+  *channels = ch;
+  return 0;
+}
+
+int pdio_png_read_f32(const char* path, float* out, int out_size) {
+  std::vector<uint8_t> f;
+  if (!read_file(path, f)) return -1;
+  int w = static_cast<int>(rd32(f.data() + 16));
+  int h = static_cast<int>(rd32(f.data() + 20));
+  int depth = f[24], color = f[25];
+  int ch = color == 0 ? 1 : color == 2 ? 3 : color == 4 ? 2 : 4;
+  if (f[28] != 0) return -2;
+  if (out_size < w * h * ch) return -3;
+
+  std::vector<uint8_t> idat;
+  size_t pos = 8;
+  while (pos + 8 <= f.size()) {
+    uint32_t len = rd32(f.data() + pos);
+    const char* type = reinterpret_cast<const char*>(f.data() + pos + 4);
+    if (memcmp(type, "IDAT", 4) == 0)
+      idat.insert(idat.end(), f.data() + pos + 8, f.data() + pos + 8 + len);
+    if (memcmp(type, "IEND", 4) == 0) break;
+    pos += 12 + len;
+  }
+  std::vector<uint8_t> raw;
+  if (!inflate_all(idat.data(), idat.size(), raw)) return -4;
+
+  int bpp = ch * (depth == 16 ? 2 : 1);  // bytes per pixel
+  size_t stride = static_cast<size_t>(w) * bpp;
+  if (raw.size() < static_cast<size_t>(h) * (stride + 1)) return -5;
+
+  std::vector<uint8_t> prev(stride, 0), cur(stride);
+  float scale = depth == 16 ? 1.0f / 65535.0f : 1.0f / 255.0f;
+  for (int y = 0; y < h; y++) {
+    const uint8_t* src = raw.data() + static_cast<size_t>(y) * (stride + 1);
+    uint8_t filt = src[0];
+    src++;
+    for (size_t i = 0; i < stride; i++) {
+      int a = i >= static_cast<size_t>(bpp) ? cur[i - bpp] : 0;
+      int b = prev[i];
+      int c = i >= static_cast<size_t>(bpp) ? prev[i - bpp] : 0;
+      int v = src[i];
+      switch (filt) {
+        case 0: break;
+        case 1: v += a; break;
+        case 2: v += b; break;
+        case 3: v += (a + b) / 2; break;
+        case 4: v += paeth(a, b, c); break;
+        default: return -6;
+      }
+      cur[i] = static_cast<uint8_t>(v);
+    }
+    for (int x = 0; x < w * ch; x++) {
+      uint32_t v = depth == 16
+          ? (uint32_t(cur[2 * x]) << 8) | cur[2 * x + 1]
+          : cur[x];
+      out[static_cast<size_t>(y) * w * ch + x] = v * scale;
+    }
+    std::swap(prev, cur);
+  }
+  return 0;
+}
+
+// ------------------------------------------------------------------- PFM
+
+int pdio_pfm_info(const char* path, int* width, int* height, int* channels) {
+  FILE* fp = fopen(path, "rb");
+  if (!fp) return -1;
+  char tag[8] = {0};
+  int ok = fscanf(fp, "%2s\n", tag) == 1 &&
+           fscanf(fp, "%d %d\n", width, height) == 2;
+  fclose(fp);
+  if (!ok) return -2;
+  *channels = strcmp(tag, "PF") == 0 ? 3 : 1;
+  return 0;
+}
+
+int pdio_pfm_read_f32(const char* path, float* out, int out_size) {
+  FILE* fp = fopen(path, "rb");
+  if (!fp) return -1;
+  char tag[8] = {0};
+  int w = 0, h = 0;
+  float endian = 0;
+  if (fscanf(fp, "%2s\n", tag) != 1 || fscanf(fp, "%d %d\n", &w, &h) != 2 ||
+      fscanf(fp, "%f\n", &endian) != 1) {
+    fclose(fp);
+    return -2;
+  }
+  int ch = strcmp(tag, "PF") == 0 ? 3 : 1;
+  size_t n = static_cast<size_t>(w) * h * ch;
+  if (out_size < static_cast<int>(n)) { fclose(fp); return -3; }
+  if (fread(out, 4, n, fp) != n) { fclose(fp); return -4; }
+  fclose(fp);
+  if (endian > 0) {  // big-endian file on little-endian host
+    uint8_t* b = reinterpret_cast<uint8_t*>(out);
+    for (size_t i = 0; i < n; i++) {
+      std::swap(b[4 * i + 0], b[4 * i + 3]);
+      std::swap(b[4 * i + 1], b[4 * i + 2]);
+    }
+  }
+  return 0;
+}
+
+// --------------------------------------------------------- batch prefetch
+
+// A pool of worker threads decodes a list of image files (PNG/PFM by
+// extension) into float32 buffers ahead of consumption — the host-side
+// overlap the reference lacks entirely (it loads synchronously per item,
+// Depth.cpp:754-787).
+
+struct PrefetchItem {
+  std::string path;
+  std::vector<float> data;
+  int width = 0, height = 0, channels = 0;
+  int status = -100;
+};
+
+struct Prefetcher {
+  std::vector<PrefetchItem> items;
+  std::atomic<size_t> next{0};
+  std::vector<std::thread> workers;
+  std::mutex m;
+  std::condition_variable cv;
+  std::vector<char> done;
+
+  void run() {
+    for (;;) {
+      size_t i = next.fetch_add(1);
+      if (i >= items.size()) return;
+      PrefetchItem& it = items[i];
+      int w = 0, h = 0, c = 0, d = 0;
+      const std::string& p = it.path;
+      bool is_pfm = p.size() > 4 && p.compare(p.size() - 4, 4, ".pfm") == 0;
+      int st;
+      if (is_pfm) {
+        st = pdio_pfm_info(p.c_str(), &w, &h, &c);
+        if (st == 0) {
+          it.data.resize(static_cast<size_t>(w) * h * c);
+          st = pdio_pfm_read_f32(p.c_str(), it.data.data(),
+                                 static_cast<int>(it.data.size()));
+        }
+      } else {
+        st = pdio_png_info(p.c_str(), &w, &h, &c, &d);
+        if (st == 0) {
+          it.data.resize(static_cast<size_t>(w) * h * c);
+          st = pdio_png_read_f32(p.c_str(), it.data.data(),
+                                 static_cast<int>(it.data.size()));
+        }
+      }
+      it.width = w; it.height = h; it.channels = c; it.status = st;
+      {
+        std::lock_guard<std::mutex> lk(m);
+        done[i] = 1;
+      }
+      cv.notify_all();
+    }
+  }
+};
+
+void* pdio_prefetch_start(const char** paths, int n, int threads) {
+  Prefetcher* pf = new Prefetcher();
+  pf->items.resize(n);
+  pf->done.assign(n, 0);
+  for (int i = 0; i < n; i++) pf->items[i].path = paths[i];
+  int t = threads > 0 ? threads : 4;
+  for (int i = 0; i < t; i++)
+    pf->workers.emplace_back([pf] { pf->run(); });
+  return pf;
+}
+
+int pdio_prefetch_info(void* handle, int index, int* width, int* height,
+                       int* channels) {
+  Prefetcher* pf = static_cast<Prefetcher*>(handle);
+  if (index < 0 || index >= static_cast<int>(pf->items.size())) return -1;
+  std::unique_lock<std::mutex> lk(pf->m);
+  pf->cv.wait(lk, [&] { return pf->done[index] != 0; });
+  PrefetchItem& it = pf->items[index];
+  *width = it.width; *height = it.height; *channels = it.channels;
+  return it.status;
+}
+
+int pdio_prefetch_take(void* handle, int index, float* out, int out_size) {
+  Prefetcher* pf = static_cast<Prefetcher*>(handle);
+  PrefetchItem& it = pf->items[index];
+  if (it.status != 0) return it.status;
+  if (out_size < static_cast<int>(it.data.size())) return -3;
+  memcpy(out, it.data.data(), it.data.size() * 4);
+  it.data.clear();
+  it.data.shrink_to_fit();
+  return 0;
+}
+
+void pdio_prefetch_free(void* handle) {
+  Prefetcher* pf = static_cast<Prefetcher*>(handle);
+  for (auto& w : pf->workers) w.join();
+  delete pf;
+}
+
+}  // extern "C"

@@ -17,9 +17,6 @@ from __future__ import annotations
 import argparse
 import sys
 
-from .config import MergeConfig
-from .pipeline import run_batch
-
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
@@ -41,11 +38,21 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-extract", action="store_true",
                    help="skip stage-A RGB view extraction")
     p.add_argument("--jacobi", default="auto", choices=["auto", "jnp", "pallas"])
+    p.add_argument("--platform", default="auto", choices=["auto", "cpu", "tpu"],
+                   help="force the jax backend (NOTE: the JAX_PLATFORMS env "
+                        "var is ignored under some TPU plugins)")
     return p
 
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.platform != "auto":
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    from .config import MergeConfig
+    from .pipeline import run_batch
+
     cfg = MergeConfig(layout_name=args.layout, out_width=args.out_width)
     run_batch(
         args.rgb_folder, args.gt_folder, args.baseline_folder,

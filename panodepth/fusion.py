@@ -146,6 +146,51 @@ def _pixel_coords(width: int, height: int):
     return azi, zen
 
 
+@functools.lru_cache(maxsize=64)
+def _view_gather_indices(cfg: MergeConfig, lvl_idx: int, view: int,
+                         pmap_shape: Tuple[int, int]):
+    """Static flat gather indices for one view's bbox+ring slab at a level.
+
+    All geometry here is static (config + shapes), so the whole
+    equirect-pixel -> gnomonic -> pmap-pixel chain is precomputed on the
+    host in float64 and baked into the graph as an int32 index table; at
+    runtime the view resampling is a single flat ``take``.  The slab extends
+    the bbox by one ring so the 5-point target Laplacian of the interior is
+    exact; ring columns wrap modulo the image width (azimuth seam).
+    """
+    plan = build_fusion_plan(cfg)
+    lvl = plan.levels[lvl_idx]
+    x_lo, x_hi, y_lo, y_hi = lvl.bboxes[view]
+    if y_lo > y_hi:
+        return None
+    w, h = lvl.width, lvl.height
+    ph, pw = pmap_shape
+    xs = np.arange(x_lo - 1, x_hi + 2, dtype=np.int64) % w
+    ys = np.arange(y_lo - 1, y_hi + 2, dtype=np.int64)  # rows never clip
+    azi = xs.astype(np.float64) / (w - 1) * TWO_PI
+    zen = ys.astype(np.float64) / (h - 1) * np.pi
+    ag, zg = np.meshgrid(azi, zen)
+    win = geometry.layout_windows(cfg.layout.fovs)
+    win_v = jax.tree.map(lambda a: a[view], win)
+    x, y = geometry.spherical_to_xy(win_v, ag, zg, xp=np)
+    pxi = np.clip((np.clip(x, 0, 1) * (pw - 1)).astype(np.int64), 0, pw - 1)
+    pyi = np.clip((np.clip(y, 0, 1) * (ph - 1)).astype(np.int64), 0, ph - 1)
+    return (pyi * pw + pxi).astype(np.int32)
+
+
+@functools.lru_cache(maxsize=64)
+def _level0_gather_indices(cfg: MergeConfig, emap_shape: Tuple[int, int]):
+    """Static flat indices for the level-0 baseline resample (f64 host)."""
+    plan = build_fusion_plan(cfg)
+    lvl = plan.levels[0]
+    he, we = emap_shape
+    x = np.arange(lvl.width, dtype=np.float64) / (lvl.width - 1) * TWO_PI
+    y = np.arange(lvl.height, dtype=np.float64) / (lvl.height - 1) * np.pi
+    xi = np.clip((x / TWO_PI * (we - 1)).astype(np.int64), 0, we - 1)
+    yi = np.clip((y / np.pi * (he - 1)).astype(np.int64), 0, he - 1)
+    return (yi[:, None] * we + xi[None, :]).astype(np.int32)
+
+
 def lap4(img):
     """5-point Laplacian: center - 0.25*(left+right+up+down), x wraps."""
     return img - 0.25 * (
@@ -161,32 +206,46 @@ def resample_view(pmap, window: geometry.Window, width: int, height: int):
     return sample_unit_nearest(pmap, x, y)
 
 
-def level_target(pmaps, plan: FusionPlan, lvl: LevelPlan):
+def level_target(pmaps, plan: FusionPlan, lvl_idx: int):
     """Mean target-Laplacian image + covered mask for one pyramid level.
 
     Equivalent to the reference's mask build + renormalization
     (Depth.cpp:1487-1647): per view, the target at a covered pixel is the
     4-neighbor Laplacian of the view's reprojected depth; overlaps average.
+    Each view only touches its static bbox slab (one flat gather + a local
+    stencil + a static slice-add), not the full panorama.
     """
+    cfg = plan.cfg
+    lvl = plan.levels[lvl_idx]
     h, w = lvl.height, lvl.width
+    pmap_shape = tuple(pmaps.shape[-2:])
     tgt_sum = jnp.zeros((h, w), jnp.float32)
-    xg = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-    yg = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     for v, (x_lo, x_hi, y_lo, y_hi) in enumerate(lvl.bboxes):
-        if y_lo > y_hi:
+        idx = _view_gather_indices(cfg, lvl_idx, v, pmap_shape)
+        if idx is None:
             continue
-        win = jax.tree.map(lambda a: a[v], plan.windows)
-        V = resample_view(pmaps[v], win, w, h)
-        m = ((xg >= x_lo) & (xg <= x_hi) & (yg >= y_lo) & (yg <= y_hi))
-        tgt_sum = tgt_sum + jnp.where(m, lap4(V), 0.0)
+        slab = jnp.take(pmaps[v].reshape(-1), jnp.asarray(idx))
+        lap = slab[1:-1, 1:-1] - 0.25 * (
+            slab[1:-1, :-2] + slab[1:-1, 2:] + slab[:-2, 1:-1] + slab[2:, 1:-1]
+        )
+        tgt_sum = tgt_sum.at[y_lo : y_hi + 1, x_lo : x_hi + 1].add(lap)
     inv_cov = jnp.asarray(lvl.inv_cov)
     return tgt_sum * inv_cov, inv_cov > 0
 
 
-def init_level0(emap, lvl: LevelPlan):
-    """Level-0 buffer from the baseline emap (Depth.cpp:1441-1465)."""
-    azi, zen = _pixel_coords(lvl.width, lvl.height)
-    vals = sample_equirect_nearest(emap, azi, zen)
+def init_level0(emap, lvl: LevelPlan, cfg: MergeConfig = None):
+    """Level-0 buffer from the baseline emap (Depth.cpp:1441-1465).
+
+    When ``cfg`` is given the nearest-resample indices are precomputed on
+    the host in float64 (exact pixel-boundary behavior, no runtime trig).
+    """
+    emap2d = emap if emap.ndim == 2 else emap[..., 0]
+    if cfg is not None:
+        idx = _level0_gather_indices(cfg, tuple(emap2d.shape))
+        vals = jnp.take(emap2d.reshape(-1), jnp.asarray(idx))
+    else:
+        azi, zen = _pixel_coords(lvl.width, lvl.height)
+        vals = sample_equirect_nearest(emap2d, azi, zen)
     yg = jax.lax.broadcasted_iota(jnp.int32, (lvl.height, lvl.width), 0)
     in_band = (yg >= lvl.height0) & (yg <= lvl.height1)
     return jnp.where(in_band, vals, 0.0).astype(jnp.float32)
@@ -222,8 +281,8 @@ def fuse(emap, pmaps, plan: FusionPlan, jacobi_fn=None):
     relax = jacobi_fn or jacobi
     buf = None
     for i, lvl in enumerate(plan.levels):
-        buf = init_level0(emap, lvl) if i == 0 else upsample2x(buf)
-        target, covered = level_target(pmaps, plan, lvl)
+        buf = init_level0(emap, lvl, cfg) if i == 0 else upsample2x(buf)
+        target, covered = level_target(pmaps, plan, i)
         buf = relax(buf, target, covered, lvl.iterations,
                     cfg.jacobi_step, cfg.jacobi_reg)
     out = (jnp.clip(buf, 0.0, 1.0) * 65535.0).astype(jnp.uint16)

@@ -26,6 +26,8 @@ from typing import List, Optional, Tuple
 import numpy as np
 from PIL import Image
 
+from .utils import nativeio
+
 
 # ---------------------------------------------------------------------------
 # loading
@@ -37,10 +39,13 @@ def load_image01(filename: str, mono360: bool = False) -> np.ndarray:
     8-bit images divide by 255, 16-bit by 65535 (Depth.cpp:61-104).  ``.pfm``
     files follow EquirectangularMap::Load's dispatch (Depth.cpp:277-293):
     mono360 PFMs are flipped vertically and minmax-normalized, others are
-    clamped at 0 and divided by 10 m.
+    clamped at 0 and divided by 10 m.  PNGs decode through the native C++
+    codec when built (same normalization), other formats through PIL.
     """
     if filename.lower().endswith(".pfm"):
         return load_pfm01(filename, flip_vertical=mono360, normalize=mono360)
+    if filename.lower().endswith(".png") and nativeio.available():
+        return nativeio.read_image_f32(filename)
     img = Image.open(filename)
     arr = np.asarray(img)
     if arr.dtype == np.uint8:
@@ -105,6 +110,9 @@ def save_pfm(filename: str, img: np.ndarray) -> None:
 def save_png16(filename: str, data: np.ndarray) -> None:
     """16-bit single-channel PNG (Save16BitPNG, Depth.cpp:27-32)."""
     arr = np.ascontiguousarray(data, np.uint16)
+    if nativeio.available():
+        nativeio.write_png16(filename, arr)
+        return
     Image.fromarray(arr, mode="I;16").save(filename)
 
 

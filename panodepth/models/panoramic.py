@@ -1,0 +1,104 @@
+"""Panoramic baseline depth network (UniFuse-class), TPU-native flax.
+
+The reference consumes baseline depth panoramas produced *offline* by
+UniFuse/HoHoNet/BiFuse/SliceNet (filename conventions, reference
+``Main.cpp:500-516``; ``README.md:15``).  This module is the on-TPU
+replacement so the whole pipeline — baseline inference -> view extraction ->
+perspective inference -> registration -> fusion — can run in one device
+graph.
+
+Architecture follows UniFuse's shape (Jiang et al. 2021): an equirectangular
+encoder plus a cubemap encoder whose per-level features are projected back to
+the equirect grid and fused *unidirectionally* (cube -> equirect) with a
+squeeze-excitation gate, then a skip-connected decoder regresses depth.
+Projections use :mod:`panodepth.ops.cubemap` (pure gathers, differentiable).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.cubemap import cubemap_to_equirect, equirect_to_cubemap
+from .perspective import ResBlock, _groups
+
+
+class SEGate(nn.Module):
+    """Squeeze-excitation gating used by UniFuse's fusion module."""
+
+    features: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        s = jnp.mean(x, axis=(1, 2), keepdims=True)
+        s = nn.Dense(max(self.features // 4, 8), dtype=self.dtype)(s)
+        s = nn.relu(s)
+        s = nn.Dense(self.features, dtype=self.dtype)(s)
+        return x * nn.sigmoid(s)
+
+
+class UniFuseBlock(nn.Module):
+    """Unidirectional cube->equirect fusion at one pyramid level."""
+
+    features: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, equi_feat, cube_feat_equi):
+        z = jnp.concatenate([equi_feat, cube_feat_equi], axis=-1)
+        z = nn.Conv(self.features, (3, 3), use_bias=False, dtype=self.dtype)(z)
+        z = nn.GroupNorm(num_groups=_groups(self.features))(z)
+        z = nn.relu(z)
+        z = SEGate(self.features, dtype=self.dtype)(z)
+        return equi_feat + z
+
+
+class PanoBaselineNet(nn.Module):
+    """UniFuse-class panoramic depth net on (B, H, W, 3), H = W/2.
+
+    W must be a multiple of 32.  Returns (B, H, W) depth in 0~1 (sigmoid),
+    matching the 16-bit 0~1 encoding of the baseline files the reference
+    loads (Depth.cpp:277-355).
+    """
+
+    widths: Sequence[int] = (32, 64, 128, 256)
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, rgb):
+        b, h, w, _ = rgb.shape
+        x = rgb.astype(self.dtype)
+        cube = jax.vmap(lambda img: equirect_to_cubemap(img, w // 4))(x)
+        cube = cube.reshape(b * 6, w // 4, w // 4, 3)
+
+        equi_skips, cube_skips = [], []
+        e, c = x, cube
+        for i, width in enumerate(self.widths):
+            e = ResBlock(width, stride=2, dtype=self.dtype)(e)
+            c = ResBlock(width, stride=2, dtype=self.dtype)(c)
+            eh, ew = e.shape[1], e.shape[2]
+            c6 = c.reshape(b, 6, c.shape[1], c.shape[2], width)
+            c2e = jax.vmap(lambda f: cubemap_to_equirect(f, eh, ew))(c6)
+            e = UniFuseBlock(width, dtype=self.dtype)(e, c2e)
+            equi_skips.append(e)
+
+        y = equi_skips[-1]
+        for skip in reversed(equi_skips[:-1]):
+            bb, hh, ww, cc = y.shape
+            y = jax.image.resize(y, (bb, hh * 2, ww * 2, cc), "nearest")
+            y = nn.Conv(skip.shape[-1], (3, 3), use_bias=False,
+                        dtype=self.dtype)(y)
+            y = nn.GroupNorm(num_groups=_groups(skip.shape[-1]))(y)
+            y = nn.relu(y)
+            y = y + skip
+        bb, hh, ww, cc = y.shape
+        y = jax.image.resize(y, (bb, hh * 2, ww * 2, cc), "bilinear")
+        y = nn.Conv(32, (3, 3), dtype=self.dtype)(y)
+        y = nn.relu(y)
+        y = jax.image.resize(y, (bb, h, w, 32), "bilinear")
+        y = nn.Conv(1, (1, 1), dtype=jnp.float32)(y)
+        return nn.sigmoid(y[..., 0])

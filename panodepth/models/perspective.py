@@ -1,0 +1,122 @@
+"""Perspective monocular depth network (MiDaS/LeReS-class), TPU-native flax.
+
+The reference calls an *external* perspective depth CNN between stage A and
+stage C (disabled ``system()`` calls to MiDaS ``run.py`` / LeReS
+``test_depth.py``, reference ``Main.cpp:465-474``).  This module provides the
+on-TPU replacement: a ResNet-style encoder with a RefineNet-style fusion
+decoder (the MiDaS architecture family), NHWC, bfloat16 compute / float32
+params, GroupNorm (batch-size independent, shard-friendly).
+
+Output is a positive per-pixel *inverse-depth-like* prediction at input
+resolution; :func:`predict_depth01` maps it into the 0~1 depth encoding the
+registration stage consumes (the cubic registration absorbs any monotone
+value remapping, exactly as it absorbs LeReS/MiDaS output conventions).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import math
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def _groups(channels: int, target: int = 32) -> int:
+    """A divisor of ``channels`` close to ``target`` (for GroupNorm)."""
+    return math.gcd(channels, target)
+
+
+class ResBlock(nn.Module):
+    features: int
+    stride: int = 1
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.Conv(self.features, (3, 3), (self.stride, self.stride),
+                    use_bias=False, dtype=self.dtype)(x)
+        y = nn.GroupNorm(num_groups=_groups(self.features))(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.features, (3, 3), use_bias=False, dtype=self.dtype)(y)
+        y = nn.GroupNorm(num_groups=_groups(self.features))(y)
+        if x.shape[-1] != self.features or self.stride != 1:
+            x = nn.Conv(self.features, (1, 1), (self.stride, self.stride),
+                        use_bias=False, dtype=self.dtype)(x)
+            x = nn.GroupNorm(num_groups=_groups(self.features))(x)
+        return nn.relu(y + x)
+
+
+class FusionBlock(nn.Module):
+    """RefineNet-style decoder block: upsample, add skip, refine."""
+
+    features: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, skip=None):
+        b, h, w, c = x.shape
+        x = jax.image.resize(x, (b, h * 2, w * 2, c), "nearest")
+        x = nn.Conv(self.features, (3, 3), dtype=self.dtype)(x)
+        if skip is not None:
+            skip = nn.Conv(self.features, (3, 3), use_bias=False,
+                           dtype=self.dtype)(skip)
+            x = x + skip
+        return ResBlock(self.features, dtype=self.dtype)(x)
+
+
+class PerspectiveDepthNet(nn.Module):
+    """Encoder-decoder monocular depth net on (B, H, W, 3) in [0, 1].
+
+    H and W must be multiples of 32.  Returns (B, H, W) positive values.
+    """
+
+    stage_sizes: Sequence[int] = (2, 2, 2, 2)
+    widths: Sequence[int] = (64, 128, 256, 512)
+    decoder_width: int = 128
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        x = x.astype(self.dtype)
+        x = nn.Conv(self.widths[0] // 2, (7, 7), (2, 2), use_bias=False,
+                    dtype=self.dtype)(x)
+        x = nn.GroupNorm(num_groups=_groups(x.shape[-1]))(x)
+        x = nn.relu(x)
+
+        skips = []
+        for i, (blocks, width) in enumerate(zip(self.stage_sizes, self.widths)):
+            for b in range(blocks):
+                x = ResBlock(width, stride=2 if b == 0 else 1,
+                             dtype=self.dtype)(x)
+            skips.append(x)
+
+        # decoder: deepest feature up through the skips
+        y = nn.Conv(self.decoder_width, (3, 3), use_bias=False,
+                    dtype=self.dtype)(skips[-1])
+        for skip in reversed(skips[:-1]):
+            y = FusionBlock(self.decoder_width, dtype=self.dtype)(y, skip)
+        y = FusionBlock(self.decoder_width, dtype=self.dtype)(y)  # to H/2
+
+        y = nn.Conv(self.decoder_width // 2, (3, 3), dtype=self.dtype)(y)
+        y = nn.relu(y)
+        b, h, w, c = y.shape
+        y = jax.image.resize(y, (b, h * 2, w * 2, c), "bilinear")
+        y = nn.Conv(32, (3, 3), dtype=self.dtype)(y)
+        y = nn.relu(y)
+        y = nn.Conv(1, (1, 1), dtype=jnp.float32)(y)
+        return nn.relu(y[..., 0])
+
+
+def predict_depth01(params, model: PerspectiveDepthNet, rgb):
+    """Run the net and map its positive output into 0~1 depth encoding.
+
+    Normalizes the prediction per image by its 99th-percentile value — a
+    monotone map the downstream cubic registration absorbs (it registers
+    each view to the panoramic baseline anyway; see Depth.cpp:1261-1414).
+    """
+    pred = model.apply(params, rgb)
+    hi = jnp.percentile(pred.reshape(pred.shape[0], -1), 99.0, axis=1)
+    return jnp.clip(pred / jnp.maximum(hi, 1e-6)[:, None, None], 0.0, 1.0)

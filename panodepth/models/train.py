@@ -1,0 +1,132 @@
+"""Training: losses, optimizer step, data-parallel sharding, checkpoints.
+
+The reference trains nothing (its CNNs are external); this is new surface
+required by the on-TPU model families.  Losses are the standard monocular
+depth pair: BerHu (reverse Huber) on values + multi-scale gradient matching
+on log depth.  The train step is a pure function jit-compiled over a device
+mesh with batch-sharded data and replicated params (the model sizes here
+never warrant TP/PP; see SURVEY.md section 2.3).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def berhu_loss(pred, target, mask=None):
+    """Reverse Huber: L1 near zero, scaled L2 beyond c = 0.2 * max|err|."""
+    err = jnp.abs(pred - target)
+    if mask is not None:
+        err = jnp.where(mask, err, 0.0)
+    c = 0.2 * jax.lax.stop_gradient(jnp.max(err)) + 1e-12
+    l2 = (err * err + c * c) / (2.0 * c)
+    loss = jnp.where(err <= c, err, l2)
+    if mask is None:
+        return jnp.mean(loss)
+    return jnp.sum(loss) / jnp.maximum(jnp.sum(mask), 1.0)
+
+
+def gradient_matching_loss(pred, target, mask=None, scales: int = 4):
+    """Multi-scale log-depth gradient matching (MiDaS-style)."""
+    eps = 1e-4
+    lp = jnp.log(jnp.maximum(pred, eps))
+    lt = jnp.log(jnp.maximum(target, eps))
+    diff = lp - lt
+    m = jnp.ones_like(diff) if mask is None else mask.astype(diff.dtype)
+    total = 0.0
+    for s in range(scales):
+        d = diff[:, :: 2 ** s, :: 2 ** s]
+        mm = m[:, :: 2 ** s, :: 2 ** s]
+        gx = jnp.abs(jnp.diff(d, axis=2)) * mm[:, :, 1:] * mm[:, :, :-1]
+        gy = jnp.abs(jnp.diff(d, axis=1)) * mm[:, 1:, :] * mm[:, :-1, :]
+        total = total + (jnp.sum(gx) + jnp.sum(gy)) / jnp.maximum(
+            jnp.sum(mm), 1.0)
+    return total / scales
+
+
+def depth_loss(pred, target, mask=None, grad_weight: float = 0.5):
+    return berhu_loss(pred, target, mask) + grad_weight * \
+        gradient_matching_loss(pred, target, mask)
+
+
+from flax import struct
+
+
+@struct.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def make_optimizer(lr: float = 1e-4, weight_decay: float = 1e-5):
+    return optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.adamw(lr, weight_decay=weight_decay),
+    )
+
+
+def init_state(model, rng, sample_input, tx=None) -> TrainState:
+    params = model.init(rng, sample_input)
+    tx = tx or make_optimizer()
+    return TrainState(params=params, opt_state=tx.init(params),
+                      step=jnp.zeros((), jnp.int32))
+
+
+def make_train_step(model, tx=None, grad_weight: float = 0.5) -> Callable:
+    """Pure (state, batch) -> (state, metrics) step.  batch = (rgb, depth,
+    valid_mask)."""
+    tx = tx or make_optimizer()
+
+    def loss_fn(params, rgb, depth, mask):
+        pred = model.apply(params, rgb)
+        return depth_loss(pred, depth, mask, grad_weight)
+
+    def step(state: TrainState, batch):
+        rgb, depth, mask = batch
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, rgb, depth,
+                                                  mask)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        gn = optax.global_norm(grads)
+        return TrainState(params, opt_state, state.step + 1), {
+            "loss": loss, "grad_norm": gn}
+
+    return step
+
+
+def shard_train_step(step_fn, mesh: Mesh, batch_axis: str = "dp"):
+    """jit the step with batch-sharded data and replicated state over
+    ``mesh``.  XLA inserts the gradient psum across ``batch_axis`` (ICI)."""
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(batch_axis))
+    return jax.jit(
+        step_fn,
+        in_shardings=(repl, (data, data, data)),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )
+
+
+# --------------------------------------------------------------------------
+# checkpointing (orbax)
+
+
+def save_checkpoint(path: str, state: TrainState) -> None:
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, state, force=True)
+
+
+def restore_checkpoint(path: str, template: TrainState) -> TrainState:
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(path, template)

@@ -65,6 +65,29 @@ def _resolve_jacobi(kind: str):
         return None
 
 
+def _load_inputs(baseline_filename, pmap_filenames):
+    """Decode the baseline + all views, threaded via the native prefetcher
+    when available (the reference loads synchronously, Depth.cpp:754-787)."""
+    from .utils import nativeio
+
+    # .pfm is excluded: its 0~1 normalization (LoadPfm flip/cap semantics)
+    # lives in the python path
+    files = [baseline_filename] + list(pmap_filenames)
+    if nativeio.available() and all(
+            f.lower().endswith(".png") for f in files):
+        pf = nativeio.BatchPrefetcher(files, threads=8)
+        try:
+            imgs = [pf.get(i) for i in range(len(files))]
+        finally:
+            pf.close()
+        for f, img in zip(files, imgs):
+            if img is None:
+                raise FileNotFoundError(f)
+        return imgs[0], imgs[1:]
+    return (pio.load_image01(baseline_filename),
+            [pio.load_image01(f) for f in pmap_filenames])
+
+
 @dataclasses.dataclass
 class MergeOutput:
     out_u16: np.ndarray
@@ -89,8 +112,7 @@ def merge_depth_maps(
     stage-separated run only when profiling is enabled; by default the
     combined device time is attributed to fusion (the dominant stage).
     """
-    emap = pio.load_image01(baseline_filename)
-    views = [pio.load_image01(f) for f in pmap_filenames]
+    emap, views = _load_inputs(baseline_filename, pmap_filenames)
     shapes = {v.shape for v in views}
     if len(shapes) != 1:
         raise ValueError(f"perspective maps disagree in shape: {shapes}")

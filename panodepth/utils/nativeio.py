@@ -1,0 +1,139 @@
+"""ctypes bindings for the native IO library (native/panodepth_io.cpp).
+
+Provides fast 16-bit PNG encode/decode, PFM decode, and a threaded batch
+prefetcher.  Every entry point degrades gracefully: if the shared library
+has not been built, ``available()`` is False and callers fall back to the
+pure-Python paths in :mod:`panodepth.io`.
+
+Build with::
+
+    cmake -S native -B native/build && cmake --build native/build
+    # or: make -C native
+
+which drops ``libpanodepth_io.so`` next to this file.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import List, Optional
+
+import numpy as np
+
+_LIB = None
+
+
+def _load():
+    global _LIB
+    if _LIB is not None:
+        return _LIB
+    path = os.path.join(os.path.dirname(__file__), "libpanodepth_io.so")
+    if not os.path.exists(path):
+        _LIB = False
+        return _LIB
+    lib = ctypes.CDLL(path)
+    lib.pdio_write_png16.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint16), ctypes.c_int,
+        ctypes.c_int, ctypes.c_int]
+    lib.pdio_png_info.argtypes = [ctypes.c_char_p] + \
+        [ctypes.POINTER(ctypes.c_int)] * 4
+    lib.pdio_png_read_f32.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int]
+    lib.pdio_pfm_info.argtypes = [ctypes.c_char_p] + \
+        [ctypes.POINTER(ctypes.c_int)] * 3
+    lib.pdio_pfm_read_f32.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int]
+    lib.pdio_prefetch_start.restype = ctypes.c_void_p
+    lib.pdio_prefetch_start.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int]
+    lib.pdio_prefetch_info.argtypes = [
+        ctypes.c_void_p, ctypes.c_int] + [ctypes.POINTER(ctypes.c_int)] * 3
+    lib.pdio_prefetch_take.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int]
+    lib.pdio_prefetch_free.argtypes = [ctypes.c_void_p]
+    _LIB = lib
+    return _LIB
+
+
+def available() -> bool:
+    return bool(_load())
+
+
+def write_png16(path: str, data: np.ndarray, level: int = 6) -> None:
+    lib = _load()
+    arr = np.ascontiguousarray(data, np.uint16)
+    h, w = arr.shape
+    rc = lib.pdio_write_png16(
+        path.encode(), arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        w, h, level)
+    if rc != 0:
+        raise IOError(f"pdio_write_png16({path}) failed: {rc}")
+
+
+def read_image_f32(path: str) -> np.ndarray:
+    """PNG (8/16-bit, any color type) or PFM -> float32 array 0~1 / raw."""
+    lib = _load()
+    w, h, c, d = (ctypes.c_int() for _ in range(4))
+    if path.lower().endswith(".pfm"):
+        rc = lib.pdio_pfm_info(path.encode(), w, h, c)
+        if rc != 0:
+            raise IOError(f"pdio_pfm_info({path}) failed: {rc}")
+        out = np.empty(w.value * h.value * c.value, np.float32)
+        rc = lib.pdio_pfm_read_f32(
+            path.encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            out.size)
+    else:
+        rc = lib.pdio_png_info(path.encode(), w, h, c, d)
+        if rc != 0:
+            raise IOError(f"pdio_png_info({path}) failed: {rc}")
+        out = np.empty(w.value * h.value * c.value, np.float32)
+        rc = lib.pdio_png_read_f32(
+            path.encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            out.size)
+    if rc != 0:
+        raise IOError(f"native read({path}) failed: {rc}")
+    img = out.reshape(h.value, w.value, c.value)
+    return img[..., 0] if c.value == 1 else img
+
+
+class BatchPrefetcher:
+    """Decode a list of files on background threads; iterate in order."""
+
+    def __init__(self, paths: List[str], threads: int = 4):
+        lib = _load()
+        if not lib:
+            raise RuntimeError("native IO library not built")
+        self._lib = lib
+        self._n = len(paths)
+        arr = (ctypes.c_char_p * self._n)(*[p.encode() for p in paths])
+        self._handle = lib.pdio_prefetch_start(arr, self._n, threads)
+
+    def get(self, index: int) -> Optional[np.ndarray]:
+        w, h, c = (ctypes.c_int() for _ in range(3))
+        rc = self._lib.pdio_prefetch_info(self._handle, index, w, h, c)
+        if rc != 0:
+            return None
+        out = np.empty(w.value * h.value * c.value, np.float32)
+        rc = self._lib.pdio_prefetch_take(
+            self._handle, index,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), out.size)
+        if rc != 0:
+            return None
+        img = out.reshape(h.value, w.value, c.value)
+        return img[..., 0] if c.value == 1 else img
+
+    def __len__(self) -> int:
+        return self._n
+
+    def close(self) -> None:
+        if self._handle:
+            self._lib.pdio_prefetch_free(self._handle)
+            self._handle = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

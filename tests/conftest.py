@@ -15,6 +15,12 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# NOTE: under the axon TPU plugin the JAX_PLATFORMS env var is ignored;
+# only the config API reliably selects the host platform.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
 import math
 
 import numpy as np

@@ -1,0 +1,97 @@
+"""Model-family tests: shapes, gradients, train step, cubemap ops."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from panodepth.models.perspective import PerspectiveDepthNet
+from panodepth.models.panoramic import PanoBaselineNet
+from panodepth.models import train as ptrain
+from panodepth.ops.cubemap import cubemap_to_equirect, equirect_to_cubemap
+
+TINY = dict(stage_sizes=(1, 1, 1, 1), widths=(8, 16, 16, 32),
+            decoder_width=16)
+
+
+@pytest.fixture(scope="module")
+def tiny_perspective():
+    model = PerspectiveDepthNet(**TINY)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 96, 3)))
+    return model, params
+
+
+def test_perspective_shapes(tiny_perspective):
+    model, params = tiny_perspective
+    out = jax.jit(model.apply)(params, jnp.zeros((2, 64, 96, 3)))
+    assert out.shape == (2, 64, 96)
+    assert (np.asarray(out) >= 0).all()
+
+
+def test_panoramic_shapes():
+    model = PanoBaselineNet(widths=(8, 16, 16, 32))
+    params = model.init(jax.random.PRNGKey(1), jnp.zeros((1, 32, 64, 3)))
+    out = jax.jit(model.apply)(params, jnp.zeros((2, 32, 64, 3)))
+    assert out.shape == (2, 32, 64)
+    o = np.asarray(out)
+    assert (o >= 0).all() and (o <= 1).all()
+
+
+def test_train_step_reduces_loss(tiny_perspective):
+    model, _ = tiny_perspective
+    rng = np.random.RandomState(0)
+    rgb = jnp.asarray(rng.rand(2, 64, 96, 3).astype(np.float32))
+    depth = jnp.asarray(rng.rand(2, 64, 96).astype(np.float32))
+    mask = jnp.ones((2, 64, 96), bool)
+    tx = ptrain.make_optimizer(lr=1e-3)
+    state = ptrain.init_state(model, jax.random.PRNGKey(2), rgb[:1], tx)
+    step = jax.jit(ptrain.make_train_step(model, tx))
+    state, m0 = step(state, (rgb, depth, mask))
+    losses = [float(m0["loss"])]
+    for _ in range(5):
+        state, m = step(state, (rgb, depth, mask))
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0], losses
+    assert int(state.step) == 6
+
+
+def test_losses_basic():
+    pred = jnp.full((1, 8, 8), 0.5)
+    assert float(ptrain.berhu_loss(pred, pred)) == 0.0
+    assert float(ptrain.gradient_matching_loss(pred, pred)) == 0.0
+    worse = ptrain.berhu_loss(pred + 0.3, pred)
+    better = ptrain.berhu_loss(pred + 0.1, pred)
+    assert float(worse) > float(better) > 0.0
+
+
+def test_cubemap_roundtrip():
+    """equirect -> cubemap -> equirect must approximately reproduce smooth
+    content away from the poles."""
+    import math
+
+    h, w = 64, 128
+    y, x = np.mgrid[:h, :w]
+    azi = (x + 0.5) / w * 2 * math.pi
+    zen = (y + 0.5) / h * math.pi
+    img = (0.5 + 0.3 * np.sin(azi) * np.sin(zen)).astype(np.float32)[..., None]
+    faces = equirect_to_cubemap(jnp.asarray(img), 64)
+    assert faces.shape == (6, 64, 64, 1)
+    back = np.asarray(cubemap_to_equirect(faces, h, w))[..., 0]
+    mid = slice(h // 4, 3 * h // 4)
+    np.testing.assert_allclose(back[mid], img[mid, :, 0], atol=0.02)
+
+
+def test_checkpoint_roundtrip(tmp_path, tiny_perspective):
+    model, params = tiny_perspective
+    tx = ptrain.make_optimizer()
+    state = ptrain.TrainState(params=params, opt_state=tx.init(params),
+                              step=jnp.int32(7))
+    path = str(tmp_path / "ckpt")
+    ptrain.save_checkpoint(path, state)
+    zero = jax.tree.map(jnp.zeros_like, state)
+    restored = ptrain.restore_checkpoint(path, zero)
+    assert int(restored.step) == 7
+    leaves0 = jax.tree.leaves(state.params)
+    leaves1 = jax.tree.leaves(restored.params)
+    for a, b in zip(leaves0, leaves1):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
