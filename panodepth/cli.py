@@ -41,6 +41,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--platform", default="auto", choices=["auto", "cpu", "tpu"],
                    help="force the jax backend (NOTE: the JAX_PLATFORMS env "
                         "var is ignored under some TPU plugins)")
+    p.add_argument("--limit", type=int, default=None,
+                   help="process at most N panoramas (Main.cpp:372-386)")
+    p.add_argument("--include", action="append", default=None,
+                   help="only panoramas whose filename contains this "
+                        "substring (repeatable; Main.cpp:357-370)")
+    p.add_argument("--exclude", action="append", default=None,
+                   help="skip panoramas whose filename contains this "
+                        "substring (repeatable; Main.cpp:388-407)")
+    p.add_argument("--profile", action="store_true",
+                   help="report the time_Reg / time_Laplacian split via "
+                        "stage-separated execution")
     return p
 
 
@@ -59,6 +70,8 @@ def main(argv=None) -> int:
         args.result_folder, cfg,
         views_folder=args.views_folder, dataset=args.dataset,
         extract_rgb_views=not args.no_extract, pmap_ext=args.pmap_ext,
+        limit=args.limit, include=args.include, exclude=args.exclude,
+        profile=args.profile,
     )
     return 0
 

@@ -287,3 +287,70 @@ def fuse(emap, pmaps, plan: FusionPlan, jacobi_fn=None):
                     cfg.jacobi_step, cfg.jacobi_reg)
     out = (jnp.clip(buf, 0.0, 1.0) * 65535.0).astype(jnp.uint16)
     return out, buf
+
+
+def solve_depth_by_smoothing(pmaps, plan: FusionPlan, iterations: int = 500,
+                             smooth_range: int = 10):
+    """Alternative trivial fusion: paste views, smooth their seams.
+
+    Ports ``SolveDepthBySmoothing`` (reference Depth.cpp:1773-1878, the
+    disabled alternative at Depth.cpp:919-922): each view's values are
+    written into its bbox (later views overwrite earlier on overlap), pixels
+    within ``smooth_range`` of any bbox edge are relaxed toward their
+    4-neighbor average for ``iterations`` rounds, and the result is
+    u16-quantized.  Deviation: the reference's in-place scan is Gauss-Seidel;
+    this dense version is Jacobi (the path is disabled in the reference, so
+    there is no behavior to match bit-for-bit).
+    """
+    lvl = plan.levels[-1]
+    lvl_idx = len(plan.levels) - 1
+    h, w = lvl.height, lvl.width
+    buf = jnp.zeros((h, w), jnp.float32)
+    smooth = np.zeros((h, w), bool)
+    pmap_shape = tuple(pmaps.shape[-2:])
+    for v, (x_lo, x_hi, y_lo_band, _) in enumerate(lvl.bboxes):
+        # SolveDepthBySmoothing walks the UNCLAMPED y range (no zenith-band
+        # clamp, Depth.cpp:1797-1813); recompute it from the raw ranges.
+        rng = plan.cfg.clamped_ranges()[v]
+        y0 = _cround(rng[2] / np.pi * (h - 1))
+        y1 = _cround(rng[3] / np.pi * (h - 1))
+        idx = _view_gather_indices(plan.cfg, lvl_idx, v, pmap_shape)
+        if idx is None:
+            continue
+        slab = jnp.take(pmaps[v].reshape(-1), jnp.asarray(idx))
+        # slab covers [y_lo_band-1, ...]; re-gather the unclamped rows
+        xs = np.arange(x_lo, x_hi + 1)
+        ys = np.arange(max(y0, 0), min(y1, h - 1) + 1)
+        win = geometry.layout_windows(plan.cfg.layout.fovs)
+        win_v = jax.tree.map(lambda a: a[v], win)
+        azi = xs.astype(np.float64) / (w - 1) * TWO_PI
+        zen = ys.astype(np.float64) / (h - 1) * np.pi
+        ag, zg = np.meshgrid(azi, zen)
+        px, py = geometry.spherical_to_xy(win_v, ag, zg, xp=np)
+        ph, pw = pmap_shape
+        pxi = np.clip((np.clip(px, 0, 1) * (pw - 1)).astype(np.int64), 0,
+                      pw - 1)
+        pyi = np.clip((np.clip(py, 0, 1) * (ph - 1)).astype(np.int64), 0,
+                      ph - 1)
+        vals = jnp.take(pmaps[v].reshape(-1),
+                        jnp.asarray((pyi * pw + pxi).astype(np.int32)))
+        buf = buf.at[ys[0] : ys[-1] + 1, x_lo : x_hi + 1].set(vals)
+        near = np.zeros((h, w), bool)
+        near[ys[0] : ys[-1] + 1, x_lo : x_hi + 1] = True
+        interior = np.zeros((h, w), bool)
+        iy0, iy1 = ys[0] + smooth_range + 1, ys[-1] - smooth_range
+        ix0, ix1 = x_lo + smooth_range + 1, x_hi - smooth_range
+        if iy1 > iy0 and ix1 > ix0:
+            interior[iy0:iy1, ix0:ix1] = True
+        smooth |= near & ~interior
+    band = np.zeros((h, w), bool)
+    band[lvl.height0 : lvl.height1 + 1, 1 : w - 1] = True
+    smooth_m = jnp.asarray(smooth & band)
+
+    def body(_, B):
+        avg = 0.25 * (jnp.roll(B, 1, 1) + jnp.roll(B, -1, 1)
+                      + jnp.roll(B, 1, 0) + jnp.roll(B, -1, 0))
+        return jnp.where(smooth_m, B + 0.5 * (avg - B), B)
+
+    buf = jax.lax.fori_loop(0, iterations, body, buf)
+    return (jnp.clip(buf, 0.0, 1.0) * 65535.0).astype(jnp.uint16), buf

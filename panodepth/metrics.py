@@ -210,6 +210,142 @@ def median_scaling(emap0, emap1):
     return scaled, m0, m1
 
 
+def error_compare(gt_filename: str, baseline_filename: str,
+                  disp_depth_compare: bool = False, align_way: int = 1,
+                  cap_depth: bool = True, shifted_filename: str = None):
+    """File-level comparison (ErrorCompare, reference Depth.cpp:2460-2634).
+
+    With ``disp_depth_compare`` (the mono360 path): the baseline is treated
+    as disparity, least-squares aligned to the gt's disparity, inverted to
+    depth, clipped to 10, scored against the gt depth, and (optionally)
+    saved minmax-normalized as an 8-bit PNG.  Without it: plain ErrorEmap on
+    the two files.  The baseline file loads with mono360 PFM semantics.
+    """
+    import jax.numpy as jnp
+
+    from . import io as pio
+    from .ops.maps import disp_depth_conversion, minmax_normalize_valid
+
+    gt = jnp.asarray(pio.load_image01(gt_filename))
+    baseline = jnp.asarray(pio.load_image01(baseline_filename, mono360=True))
+
+    if disp_depth_compare:
+        gt_disp = disp_depth_conversion(gt)
+        pre = error_metrics(gt_disp, baseline, align_way=2, cap_depth=False)
+        s, o = pre["least_square"][0], pre["least_square"][1]
+        base = baseline if baseline.ndim == 2 else baseline[..., 0]
+        base = disp_depth_conversion(base * s + o)
+        base = jnp.clip(base, 0.0, 10.0)
+        res = error_metrics(gt, base, align_way=align_way,
+                            cap_depth=cap_depth)
+        if shifted_filename:
+            out = minmax_normalize_valid(base)
+            pio.save_png8(shifted_filename,
+                          np.maximum(np.asarray(out), 0.0))
+        return res
+    res = error_metrics(gt, baseline, align_way=align_way,
+                        cap_depth=cap_depth)
+    if shifted_filename:
+        base = baseline if baseline.ndim == 2 else baseline[..., 0]
+        pio.save_png8(shifted_filename, np.maximum(np.asarray(base), 0.0))
+    return res
+
+
+# 5x5 LoG kernel of ErrorLaplacian (reference Depth.cpp:2904-2906), [x][y]
+_LOG5 = np.zeros((5, 5), np.float64)
+for _x, _y, _w in [(2, 0, -1), (1, 1, -1), (2, 1, -2), (3, 1, -1),
+                   (0, 2, -1), (1, 2, -2), (2, 2, 16), (3, 2, -2), (4, 2, -1),
+                   (1, 3, -1), (2, 3, -2), (3, 3, -1), (2, 4, -1)]:
+    _LOG5[_y, _x] = _w
+
+
+def error_laplacian(gt, baseline):
+    """Gradient-space metrics (ErrorLaplacian, reference Depth.cpp:2636-2953).
+
+    Returns dict with laplacian_mse / laplacian_mae / sobel_x_mae /
+    sobel_y_mae / laplacian5x5_mae between the gt and baseline maps (0~1
+    floats, possibly different sizes; gt is matched by C-cast index
+    scaling).  Reference quirks preserved: the Sobel validity check omits
+    the (1,0)/(2,0) gt cells, and the 5x5 bound check tests the center
+    column (X2), not the rightmost.
+    """
+    g = np.asarray(gt if gt.ndim == 2 else gt[..., 0], np.float64)
+    b = np.asarray(baseline if baseline.ndim == 2 else baseline[..., 0],
+                   np.float64)
+    gh, gw = g.shape
+    h, w = b.shape
+    rx, ry = gw / w, gh / h
+
+    def gt_at(dx, dy, x, y):
+        X = ((x + dx) * rx).astype(np.int64)
+        Y = ((y + dy) * ry).astype(np.int64)
+        return g[np.clip(Y, 0, gh - 1), np.clip(X, 0, gw - 1)], X, Y
+
+    x, y = np.meshgrid(np.arange(1, w - 1), np.arange(1, h - 1))
+
+    gv = {}
+    X1p, Y1p = None, None
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            gv[(dx, dy)], X, Y = gt_at(dx, dy, x, y)
+            if dx == 1 and dy == 1:
+                X1p, Y1p = X, Y
+    _, X0m, Y0m = gt_at(-1, -1, x, y)
+    inb = (X0m >= 0) & (X1p <= gw - 1) & (Y0m >= 0) & (Y1p <= gh - 1)
+
+    lap_valid = inb & (gv[(0, 0)] >= 1e-4) & (gv[(-1, 0)] >= 1e-4) & \
+        (gv[(1, 0)] >= 1e-4) & (gv[(0, -1)] >= 1e-4) & (gv[(0, 1)] >= 1e-4)
+    g_lap = gv[(0, 0)] - (gv[(-1, 0)] + gv[(1, 0)] + gv[(0, -1)]
+                          + gv[(0, 1)]) / 4
+    b_lap = b[y, x] - (b[y, x - 1] + b[y, x + 1] + b[y - 1, x]
+                       + b[y + 1, x]) / 4
+    d = np.where(lap_valid, g_lap - b_lap, 0.0)
+    n_lap = lap_valid.sum()
+    lap_mse = (d ** 2).sum() / n_lap
+    lap_mae = np.abs(d).sum() / n_lap
+
+    # Sobel validity: the reference checks (0,0),(0,1),(0,2),(1,1),(2,1),
+    # (1,2),(2,2) in [x][y] indexing — i.e. (dx,dy) below — NOT (1,0),(2,0)
+    sob_valid = inb
+    for dx, dy in [(-1, -1), (-1, 0), (-1, 1), (0, 0), (1, 0), (0, 1),
+                   (1, 1)]:
+        sob_valid = sob_valid & (gv[(dx, dy)] >= 1e-4)
+    g_sx = gv[(-1, -1)] - gv[(1, -1)] + 2 * gv[(-1, 0)] - 2 * gv[(1, 0)] \
+        + gv[(-1, 1)] - gv[(1, 1)]
+    g_sy = gv[(-1, -1)] + 2 * gv[(0, -1)] + gv[(1, -1)] - gv[(-1, 1)] \
+        - 2 * gv[(0, 1)] - gv[(1, 1)]
+    b_sx = b[y - 1, x - 1] - b[y - 1, x + 1] + 2 * b[y, x - 1] \
+        - 2 * b[y, x + 1] + b[y + 1, x - 1] - b[y + 1, x + 1]
+    b_sy = b[y - 1, x - 1] + 2 * b[y - 1, x] + b[y - 1, x + 1] \
+        - b[y + 1, x - 1] - 2 * b[y + 1, x] - b[y + 1, x + 1]
+    n_sob = sob_valid.sum()
+    sx_mae = np.abs(np.where(sob_valid, g_sx - b_sx, 0.0)).sum() / n_sob
+    sy_mae = np.abs(np.where(sob_valid, g_sy - b_sy, 0.0)).sum() / n_sob
+
+    # 5x5 LoG
+    x5, y5 = np.meshgrid(np.arange(2, w - 2), np.arange(2, h - 2))
+    g5 = {}
+    for dx in range(-2, 3):
+        for dy in range(-2, 3):
+            g5[(dx, dy)], X, Y = gt_at(dx, dy, x5, y5)
+    _, X0, Y0 = gt_at(-2, -2, x5, y5)
+    _, X2, Y2 = gt_at(0, 0, x5, y5)
+    inb5 = (X0 >= 0) & (X2 <= gw - 1) & (Y0 >= 0) & (Y2 <= gh - 1)
+    valid5 = inb5
+    for k in g5:
+        valid5 = valid5 & (g5[k] >= 1e-4)
+    g_log = sum(_LOG5[dy + 2, dx + 2] * g5[(dx, dy)]
+                for dx in range(-2, 3) for dy in range(-2, 3))
+    b_log = sum(_LOG5[dy + 2, dx + 2] * b[y5 + dy, x5 + dx]
+                for dx in range(-2, 3) for dy in range(-2, 3))
+    n5 = valid5.sum()
+    log_mae = np.abs(np.where(valid5, g_log - b_log, 0.0)).sum() / n5
+
+    return dict(laplacian_mse=lap_mse, laplacian_mae=lap_mae,
+                sobel_x_mae=sx_mae, sobel_y_mae=sy_mae,
+                laplacian5x5_mae=log_mae)
+
+
 def paired_metrics(gt, baseline, result01, align_way=1, cap_depth=True,
                    zenith_range=ZENITH_RANGE) -> Metrics:
     """Fill a Metrics record: baseline ('given') and fused result vs gt.

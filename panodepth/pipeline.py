@@ -52,6 +52,38 @@ def compiled_merge(cfg: MergeConfig, jacobi_kind: str = "auto"):
     return jax.jit(lambda emap, pmaps: merge_arrays(emap, pmaps, cfg, jacobi_fn))
 
 
+@functools.lru_cache(maxsize=32)
+def compiled_merge_staged(cfg: MergeConfig, jacobi_kind: str = "auto"):
+    """Registration and fusion as two separately-jitted stages.
+
+    Used by the profiling path to report the reference's time_Reg /
+    time_Laplacian split (Main.cpp:667-681); the fused single-graph path is
+    faster and is the default.
+    """
+    from . import registration
+    from .fusion import build_fusion_plan, fuse
+
+    jacobi_fn = _resolve_jacobi(jacobi_kind)
+    plan = build_fusion_plan(cfg)
+
+    @jax.jit
+    def reg_fn(emap, pmaps):
+        abcd = registration.register_views(emap, pmaps, cfg)
+        return abcd, jax.vmap(registration.apply_cubic)(pmaps, abcd)
+
+    @jax.jit
+    def fuse_fn(emap, pmaps_reg):
+        return fuse(emap, pmaps_reg, plan, jacobi_fn=jacobi_fn)[0]
+
+    return reg_fn, fuse_fn
+
+
+def _host_sync(x):
+    """True device sync: a host readback (block_until_ready can return
+    before remote execution finishes on tunneled backends)."""
+    return float(jnp.sum(jnp.asarray(x).astype(jnp.float32)))
+
+
 def _resolve_jacobi(kind: str):
     if kind == "jnp":
         return None
@@ -104,13 +136,15 @@ def merge_depth_maps(
     cfg: MergeConfig,
     gt_filename: Optional[str] = None,
     jacobi_kind: str = "auto",
+    profile: bool = False,
 ) -> MergeOutput:
     """File-level merge of one panorama (MergeDepthMaps parity).
 
-    Registration + fusion run as one fused jit invocation, so the
-    reg/fusion time split reported here is measured by a second,
-    stage-separated run only when profiling is enabled; by default the
-    combined device time is attributed to fusion (the dominant stage).
+    By default registration + fusion run as one fused jit invocation (the
+    combined device time is attributed to fusion, the dominant stage).
+    With ``profile=True`` the two stages run as separate graphs with a host
+    sync between, populating the reference's time_Reg / time_Laplacian
+    split (Main.cpp:667-681) at a small pipelining cost.
     """
     emap, views = _load_inputs(baseline_filename, pmap_filenames)
     shapes = {v.shape for v in views}
@@ -118,16 +152,29 @@ def merge_depth_maps(
         raise ValueError(f"perspective maps disagree in shape: {shapes}")
     pmaps = np.stack([v if v.ndim == 2 else v[..., 0] for v in views])
 
-    fn = compiled_merge(cfg, jacobi_kind)
-    t0 = time.monotonic()
-    out_u16, abcd = fn(jnp.asarray(emap), jnp.asarray(pmaps))
-    out_u16 = np.asarray(jax.device_get(out_u16))
-    abcd = np.asarray(jax.device_get(abcd))
-    total_ms = int((time.monotonic() - t0) * 1000)
+    if profile:
+        reg_fn, fuse_fn = compiled_merge_staged(cfg, jacobi_kind)
+        emap_d, pmaps_d = jnp.asarray(emap), jnp.asarray(pmaps)
+        t0 = time.monotonic()
+        abcd, pmaps_reg = reg_fn(emap_d, pmaps_d)
+        _host_sync(abcd)
+        t1 = time.monotonic()
+        out_u16 = fuse_fn(emap_d, pmaps_reg)
+        out_u16 = np.asarray(jax.device_get(out_u16))
+        t2 = time.monotonic()
+        abcd = np.asarray(jax.device_get(abcd))
+        reg_ms, fus_ms = int((t1 - t0) * 1000), int((t2 - t1) * 1000)
+    else:
+        fn = compiled_merge(cfg, jacobi_kind)
+        t0 = time.monotonic()
+        out_u16, abcd = fn(jnp.asarray(emap), jnp.asarray(pmaps))
+        out_u16 = np.asarray(jax.device_get(out_u16))
+        abcd = np.asarray(jax.device_get(abcd))
+        reg_ms, fus_ms = 0, int((time.monotonic() - t0) * 1000)
 
     pio.save_png16(out_filename, out_u16)
 
-    result = MergeOutput(out_u16, abcd, None, 0, total_ms)
+    result = MergeOutput(out_u16, abcd, None, reg_ms, fus_ms)
     if gt_filename and os.path.exists(gt_filename):
         gt = pio.load_image01(gt_filename)
         result.metrics = pmetrics.paired_metrics(
@@ -180,6 +227,11 @@ def run_batch(
     pmap_ext: str = ".jpg",
     report_every: int = 5,
     log=print,
+    limit: Optional[int] = None,
+    include: Optional[List[str]] = None,
+    exclude: Optional[List[str]] = None,
+    profile: bool = False,
+    manifest: bool = True,
 ) -> List[pmetrics.Metrics]:
     """Batch driver (CreateDepthPanoramas parity, Main.cpp:329-689).
 
@@ -188,10 +240,23 @@ def run_batch(
     expected to turn those into perspective depth maps with the same names;
     stage C merges.  Already-produced results are skipped, making the batch
     resumable at per-panorama granularity (Main.cpp:554-563).
+
+    ``limit``/``include``/``exclude`` are the runtime form of the
+    reference's compile-time "only do some / skip certain cases" blocks
+    (Main.cpp:357-407).  A ``manifest.json`` records completed and
+    quarantined items plus timing for elastic resume.
     """
     from .ops.projection import extract_views  # lazy: pulls in jax trace
 
     rgb_files = pio.list_images(rgb_folder)
+    if include:
+        rgb_files = [f for f in rgb_files
+                     if any(s in f for s in include)]
+    if exclude:
+        rgb_files = [f for f in rgb_files
+                     if not any(s in f for s in exclude)]
+    if limit is not None:
+        rgb_files = rgb_files[:limit]
     log(f"[run_batch] {len(rgb_files)} RGB panoramas")
     layout = cfg.layout
 
@@ -212,20 +277,25 @@ def run_batch(
     os.makedirs(result_folder, exist_ok=True)
     all_metrics: List[pmetrics.Metrics] = []
     reg_times, fusion_times = [], []
+    completed, skipped, quarantined = [], [], []
     for i, f in enumerate(rgb_files):
         raw = pio.raw_name(f)
         out_file = os.path.join(result_folder, raw + ".png")
         if os.path.exists(out_file):
             log(f"{i}/{len(rgb_files)} skip!")
+            skipped.append(raw)
             continue
         baseline = pio.baseline_filename(baseline_folder, raw, result_folder)
         gt = pio.gt_filename(gt_folder, raw, dataset)
         pmaps = pio.pmap_filenames(views_folder, raw, layout, ext=pmap_ext)
         try:
-            res = merge_depth_maps(baseline, pmaps, out_file, cfg, gt)
-        except (FileNotFoundError, ValueError) as e:
+            res = merge_depth_maps(baseline, pmaps, out_file, cfg, gt,
+                                   profile=profile)
+        except (FileNotFoundError, ValueError, OSError) as e:
             log(f"{i}/{len(rgb_files)} FAILED ({e}); quarantined, continuing")
+            quarantined.append({"name": raw, "error": str(e)})
             continue
+        completed.append(raw)
         reg_times.append(res.time_reg_ms)
         fusion_times.append(res.time_fusion_ms)
         if res.metrics is not None:
@@ -235,6 +305,19 @@ def run_batch(
         if all_metrics and (i == len(rgb_files) - 1
                             or (i > 0 and i % report_every == 0)):
             _rolling_report(all_metrics, reg_times, fusion_times, log)
+    if manifest:
+        import json
+
+        with open(os.path.join(result_folder, "manifest.json"), "w") as fp:
+            json.dump({
+                "completed": completed,
+                "skipped": skipped,
+                "quarantined": quarantined,
+                "time_reg_ms": reg_times,
+                "time_fusion_ms": fusion_times,
+                "config": {"layout": cfg.layout_name,
+                           "out_width": cfg.out_width},
+            }, fp, indent=1)
     return all_metrics
 
 

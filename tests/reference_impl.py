@@ -287,3 +287,69 @@ def ref_error_emap(gt, given, align_way=1, cap_depth=True,
         delta1=(n - d1f) / n, delta2=(n - d2f) / n, delta3=(n - d3f) / n,
         median_shift_factor=factor, least_square=ls,
     )
+
+
+def ref_error_laplacian(gt, baseline):
+    """ErrorLaplacian (Depth.cpp:2636-2953), literal loops."""
+    g = gt if gt.ndim == 2 else gt[..., 0]
+    b = baseline if baseline.ndim == 2 else baseline[..., 0]
+    gh, gw = g.shape
+    h, w = b.shape
+    rx, ry = gw / w, gh / h
+    lap_mse = lap_mae = sx_mae = sy_mae = log_mae = 0.0
+    n_lap = n_sob = n5 = 0
+    for x in range(1, w - 1):
+        for y in range(1, h - 1):
+            X = int(x * rx); X0 = int((x - 1) * rx); X1 = int((x + 1) * rx)
+            Y = int(y * ry); Y0 = int((y - 1) * ry); Y1 = int((y + 1) * ry)
+            if X0 < 0 or X1 > gw - 1 or Y0 < 0 or Y1 > gh - 1:
+                continue
+            val = [[float(g[yy, xx]) for yy in (Y0, Y, Y1)]
+                   for xx in (X0, X, X1)]  # val[x][y]
+            if not (val[1][1] < 1e-4 or val[0][1] < 1e-4 or val[2][1] < 1e-4
+                    or val[1][0] < 1e-4 or val[1][2] < 1e-4):
+                g_lap = val[1][1] - (val[0][1] + val[2][1] + val[1][0]
+                                     + val[1][2]) / 4
+                b_lap = float(b[y, x]) - (float(b[y, x - 1]) + float(b[y, x + 1])
+                                          + float(b[y - 1, x]) + float(b[y + 1, x])) / 4
+                lap_mse += (g_lap - b_lap) ** 2
+                lap_mae += abs(g_lap - b_lap)
+                n_lap += 1
+            # NOTE: reference's validity check omits val[1][0]/val[2][0]
+            if not (val[0][0] < 1e-4 or val[0][1] < 1e-4 or val[0][2] < 1e-4
+                    or val[1][1] < 1e-4 or val[2][1] < 1e-4
+                    or val[1][2] < 1e-4 or val[2][2] < 1e-4):
+                g_sx = val[0][0] - val[2][0] + 2 * val[0][1] - 2 * val[2][1] \
+                    + val[0][2] - val[2][2]
+                g_sy = val[0][0] + 2 * val[1][0] + val[2][0] - val[0][2] \
+                    - 2 * val[1][2] - val[2][2]
+                B = [[float(b[y + dy, x + dx]) for dy in (-1, 0, 1)]
+                     for dx in (-1, 0, 1)]
+                b_sx = B[0][0] - B[2][0] + 2 * B[0][1] - 2 * B[2][1] \
+                    + B[0][2] - B[2][2]
+                b_sy = B[0][0] + 2 * B[1][0] + B[2][0] - B[0][2] \
+                    - 2 * B[1][2] - B[2][2]
+                sx_mae += abs(g_sx - b_sx)
+                sy_mae += abs(g_sy - b_sy)
+                n_sob += 1
+    for x in range(2, w - 2):
+        for y in range(2, h - 2):
+            Xs = [int((x + d) * rx) for d in (-2, -1, 0, 1, 2)]
+            Ys = [int((y + d) * ry) for d in (-2, -1, 0, 1, 2)]
+            if Xs[0] < 0 or Xs[2] > gw - 1 or Ys[0] < 0 or Ys[2] > gh - 1:
+                continue
+            val = [[float(g[Ys[j], Xs[i]]) for j in range(5)]
+                   for i in range(5)]  # val[x][y]
+            if any(val[i][j] < 1e-4 for i in range(5) for j in range(5)):
+                continue
+            def log5(V):
+                return (-V[2][0] - V[1][1] - 2 * V[2][1] - V[3][1]
+                        - V[0][2] - 2 * V[1][2] + 16 * V[2][2] - 2 * V[3][2]
+                        - V[4][2] - V[1][3] - 2 * V[2][3] - V[3][3] - V[2][4])
+            B = [[float(b[y + j - 2, x + i - 2]) for j in range(5)]
+                 for i in range(5)]
+            log_mae += abs(log5(val) - log5(B))
+            n5 += 1
+    return dict(laplacian_mse=lap_mse / n_lap, laplacian_mae=lap_mae / n_lap,
+                sobel_x_mae=sx_mae / n_sob, sobel_y_mae=sy_mae / n_sob,
+                laplacian5x5_mae=log_mae / n5)

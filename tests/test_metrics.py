@@ -81,3 +81,55 @@ def test_metrics_save_format(tmp_path):
     assert "delta3_given: 0.000000" in text
     # delta3 diff gated on delta1_given != 0 (reference quirk, Depth.h:238)
     assert "delta3 diff:" in text
+
+
+def test_error_laplacian_matches_reference():
+    from reference_impl import ref_error_laplacian
+
+    rng = np.random.RandomState(11)
+    gt = rng.uniform(0.05, 0.9, (32, 64)).astype(np.float32)
+    gt[rng.rand(32, 64) < 0.08] = 0.0
+    base = np.clip(gt * 0.9 + rng.normal(0, 0.02, gt.shape), 0, 1
+                   ).astype(np.float32)
+    fast = pmetrics.error_laplacian(gt, base)
+    slow = ref_error_laplacian(gt, base)
+    for k in fast:
+        np.testing.assert_allclose(fast[k], slow[k], rtol=1e-5, err_msg=k)
+
+
+def test_error_laplacian_different_sizes():
+    from reference_impl import ref_error_laplacian
+
+    rng = np.random.RandomState(12)
+    gt = rng.uniform(0.05, 0.9, (64, 128)).astype(np.float32)
+    base = rng.uniform(0.05, 0.9, (32, 64)).astype(np.float32)
+    fast = pmetrics.error_laplacian(gt, base)
+    slow = ref_error_laplacian(gt, base)
+    for k in fast:
+        np.testing.assert_allclose(fast[k], slow[k], rtol=1e-5, err_msg=k)
+
+
+def test_error_compare_disp_depth(tmp_path):
+    from panodepth import io as pio
+
+    rng = np.random.RandomState(13)
+    depth = rng.uniform(0.2, 0.9, (32, 64)).astype(np.float32)
+    disp = (1.0 / depth)
+    disp01 = (disp - disp.min()) / (disp.max() - disp.min())
+    gt_f = str(tmp_path / "gt.png")
+    base_f = str(tmp_path / "base.pfm")
+    pio.save_png16(gt_f, pio.to_uint16(depth))
+    # mono360 pfm baseline: raw disparity; the mono360 loader flips
+    # vertically (PFM bottom-up convention) and minmax-normalizes, so save
+    # pre-flipped
+    pio.save_pfm(base_f, disp[::-1])
+    shifted = str(tmp_path / "shifted.png")
+    res = pmetrics.error_compare(gt_f, base_f, disp_depth_compare=True,
+                                 align_way=1, cap_depth=True,
+                                 shifted_filename=shifted)
+    import os
+    assert os.path.exists(shifted)
+    # disparity was an exact reciprocal of gt: after LSQ + inversion the
+    # depth must match closely
+    assert float(res["mse"]) < 1e-3
+    assert float(res["delta1"]) > 0.95
