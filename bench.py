@@ -49,16 +49,22 @@ def main() -> None:
         jacobi_fn = pallas_jacobi
     fn = jax.jit(jax.vmap(lambda e, p: merge_arrays(e, p, cfg, jacobi_fn)))
 
-    def run_sync():
-        out, abcd = fn(emaps, pmaps)
+    def sync(out):
         # NOTE: on tunneled backends (axon) block_until_ready returns before
         # remote execution finishes; a host readback is the only true sync.
+        # Device execution is in-order, so one readback of the LAST output
+        # fences everything enqueued before it.
         return float(jnp.sum(out.astype(jnp.float32)))
 
-    run_sync()  # compile + warm up
+    sync(fn(emaps, pmaps)[0])  # compile + warm up
+    # pipelined throughput: enqueue all batches, fence once at the end
+    # (per-batch host syncs would measure the ~30 ms tunnel roundtrip, which
+    # a production stream never pays per item)
     t0 = time.perf_counter()
+    out = None
     for _ in range(REPS):
-        run_sync()
+        out, _ = fn(emaps, pmaps)
+    sync(out)
     per_batch = (time.perf_counter() - t0) / REPS
     panos_per_sec = BATCH / per_batch
     print(json.dumps({

@@ -206,7 +206,7 @@ def resample_view(pmap, window: geometry.Window, width: int, height: int):
     return sample_unit_nearest(pmap, x, y)
 
 
-def level_target(pmaps, plan: FusionPlan, lvl_idx: int):
+def level_target(pmaps, plan: FusionPlan, lvl_idx: int, abcd=None):
     """Mean target-Laplacian image + covered mask for one pyramid level.
 
     Equivalent to the reference's mask build + renormalization
@@ -214,7 +214,14 @@ def level_target(pmaps, plan: FusionPlan, lvl_idx: int):
     4-neighbor Laplacian of the view's reprojected depth; overlaps average.
     Each view only touches its static bbox slab (one flat gather + a local
     stencil + a static slice-add), not the full panorama.
+
+    With ``abcd`` (V, 4) given, the per-view cubic registration remap
+    (Depth2DepthTransform) is applied to the gathered slab values instead of
+    to the full perspective maps — pointwise transform and gather commute,
+    and the slabs are ~10x smaller than the maps.
     """
+    from .registration import apply_cubic
+
     cfg = plan.cfg
     lvl = plan.levels[lvl_idx]
     h, w = lvl.height, lvl.width
@@ -225,6 +232,8 @@ def level_target(pmaps, plan: FusionPlan, lvl_idx: int):
         if idx is None:
             continue
         slab = jnp.take(pmaps[v].reshape(-1), jnp.asarray(idx))
+        if abcd is not None:
+            slab = apply_cubic(slab, abcd[v])
         lap = slab[1:-1, 1:-1] - 0.25 * (
             slab[1:-1, :-2] + slab[1:-1, 2:] + slab[:-2, 1:-1] + slab[2:, 1:-1]
         )
@@ -269,11 +278,13 @@ def jacobi(buf, target, covered, iterations, step, reg):
     return jax.lax.fori_loop(0, iterations, body, buf)
 
 
-def fuse(emap, pmaps, plan: FusionPlan, jacobi_fn=None):
+def fuse(emap, pmaps, plan: FusionPlan, jacobi_fn=None, abcd=None):
     """Full multiresolution fusion.  Returns (u16 panorama, final f32 buffer).
 
     ``emap``  — baseline equirect depth (He, We[, C]), 0~1 floats.
-    ``pmaps`` — (V, Hp, Wp) registered perspective depths, 0~1 floats.
+    ``pmaps`` — (V, Hp, Wp) perspective depths, 0~1 floats: already
+    registered, or raw with the per-view cubic ``abcd`` (V, 4) supplied (the
+    remap is then fused into the slab gathers).
     ``jacobi_fn`` — optional replacement relaxation kernel with the same
     signature as :func:`jacobi` (e.g. the Pallas fused-iteration kernel).
     """
@@ -282,7 +293,7 @@ def fuse(emap, pmaps, plan: FusionPlan, jacobi_fn=None):
     buf = None
     for i, lvl in enumerate(plan.levels):
         buf = init_level0(emap, lvl, cfg) if i == 0 else upsample2x(buf)
-        target, covered = level_target(pmaps, plan, i)
+        target, covered = level_target(pmaps, plan, i, abcd=abcd)
         buf = relax(buf, target, covered, lvl.iterations,
                     cfg.jacobi_step, cfg.jacobi_reg)
     out = (jnp.clip(buf, 0.0, 1.0) * 65535.0).astype(jnp.uint16)

@@ -93,7 +93,9 @@ def _pallas_jacobi_impl(buf, target, covf, iterations, step, reg, interpret):
     # banded path: K iterations per pass over halo-extended row slabs.
     # Overlapping slabs are materialized by plain XLA slices (vmap-friendly,
     # unlike ANY-space manual DMA); the kernel sees standard VMEM blocks.
-    band = 256
+    # Band of 128 keeps the ~8 live slab temporaries of the iteration body
+    # within the 16 MB VMEM scoped limit even under batch vmap.
+    band = 128
     n_bands = pl.cdiv(h, band)
     pad_h = n_bands * band
     k = K_PER_PASS

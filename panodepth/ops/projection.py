@@ -34,6 +34,10 @@ def view_shape(fov, width: int = 1024) -> Tuple[int, int]:
     a0, a1, z0, z1 = (float(v) for v in fov)
     fovx = abs(a1 - a0)
     fovy = abs(z1 - z0)
+    if fovx >= math.pi or fovy >= math.pi:
+        raise ValueError(
+            f"perspective window FOV must be < 180 deg, got "
+            f"({math.degrees(fovx):.1f}, {math.degrees(fovy):.1f})")
     aspect = math.tan(fovx / 2.0) / math.tan(fovy / 2.0)
     return int(round(width / aspect)), width
 

@@ -39,9 +39,10 @@ def merge_arrays(emap, pmaps, cfg: MergeConfig, jacobi_fn=None):
     via :func:`compiled_merge`.
     """
     abcd = registration.register_views(emap, pmaps, cfg)
-    pmaps_reg = jax.vmap(registration.apply_cubic)(pmaps, abcd)
     plan = build_fusion_plan(cfg)
-    out_u16, _ = fuse(emap, pmaps_reg, plan, jacobi_fn=jacobi_fn)
+    # the cubic remap is fused into the slab gathers (abcd=) instead of
+    # materializing V full-size transformed maps
+    out_u16, _ = fuse(emap, pmaps, plan, jacobi_fn=jacobi_fn, abcd=abcd)
     return out_u16, abcd
 
 

@@ -118,3 +118,20 @@ def test_upsample2x():
     np.testing.assert_array_equal(up[:2, :2],
                                   np.array([[1, 1], [1, 1]], np.float32))
     np.testing.assert_array_equal(up[2:, 2:], np.full((2, 2), 4, np.float32))
+
+
+def test_fused_abcd_matches_explicit_transform(tiny_cfg, tiny_scene):
+    """Applying the cubic inside the slab gathers must equal transforming
+    the full perspective maps first (gather and pointwise map commute)."""
+    import jax
+    from panodepth import registration
+
+    plan = fusion.build_fusion_plan(tiny_cfg)
+    pmaps = jnp.asarray(tiny_scene["pmaps"])
+    emap = jnp.asarray(tiny_scene["emap"])
+    abcd = jnp.asarray(np.array([[0.2, -0.1, 1.05, 0.02],
+                                 [0.0, 0.3, 0.7, 0.05]], np.float32))
+    out_a, _ = fusion.fuse(emap, jax.vmap(registration.apply_cubic)(pmaps, abcd),
+                           plan)
+    out_b, _ = fusion.fuse(emap, pmaps, plan, abcd=abcd)
+    np.testing.assert_array_equal(np.asarray(out_a), np.asarray(out_b))
