@@ -52,6 +52,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--profile", action="store_true",
                    help="report the time_Reg / time_Laplacian split via "
                         "stage-separated execution")
+    p.add_argument("--batch-size", type=int, default=1,
+                   help="merge N panoramas per device launch (streamed)")
     return p
 
 
@@ -71,7 +73,7 @@ def main(argv=None) -> int:
         views_folder=args.views_folder, dataset=args.dataset,
         extract_rgb_views=not args.no_extract, pmap_ext=args.pmap_ext,
         limit=args.limit, include=args.include, exclude=args.exclude,
-        profile=args.profile,
+        profile=args.profile, batch_size=args.batch_size,
     )
     return 0
 

@@ -216,6 +216,78 @@ def _save_masked_variants(out_filename, out_u16, emap, gt, cfg: MergeConfig):
         pio.save_png16(out_filename + tag, out.astype(np.uint16))
 
 
+@functools.lru_cache(maxsize=8)
+def compiled_merge_batched(cfg: MergeConfig, jacobi_kind: str = "auto"):
+    jacobi_fn = _resolve_jacobi(jacobi_kind)
+    return jax.jit(jax.vmap(
+        lambda e, p: merge_arrays(e, p, cfg, jacobi_fn)))
+
+
+def merge_many(
+    items,
+    cfg: MergeConfig,
+    batch_size: int = 4,
+    jacobi_kind: str = "auto",
+    log=print,
+):
+    """Streamed batched merge of many panoramas.
+
+    ``items`` — list of dicts with keys ``baseline``, ``pmaps`` (list of
+    filenames), ``out``, and optional ``gt``.  Items are grouped by input
+    shape into device batches; IO for the next batch overlaps device compute
+    for the current one (the device queue is only fenced when results are
+    read back for writing).  Returns a list of (item, MergeOutput) in input
+    order; failed items get None and are reported via ``log``.
+    """
+    results = [None] * len(items)
+    loaded = []  # (index, emap, pmaps)
+    for i, it in enumerate(items):
+        try:
+            emap, views = _load_inputs(it["baseline"], it["pmaps"])
+            pm = np.stack([v if v.ndim == 2 else v[..., 0] for v in views])
+            loaded.append((i, emap if emap.ndim == 2 else emap[..., 0], pm))
+        except (FileNotFoundError, ValueError, OSError) as e:
+            log(f"[merge_many] item {i} FAILED ({e}); quarantined")
+
+    groups = {}
+    for i, emap, pm in loaded:
+        groups.setdefault((emap.shape, pm.shape), []).append((i, emap, pm))
+
+    fn = compiled_merge_batched(cfg, jacobi_kind)
+    for (eshape, pshape), group in groups.items():
+        for start in range(0, len(group), batch_size):
+            chunk = group[start : start + batch_size]
+            n = len(chunk)
+            emaps = np.stack([c[1] for c in chunk])
+            pmaps = np.stack([c[2] for c in chunk])
+            if n < batch_size:  # pad to the compiled batch shape
+                emaps = np.concatenate(
+                    [emaps, np.repeat(emaps[-1:], batch_size - n, 0)])
+                pmaps = np.concatenate(
+                    [pmaps, np.repeat(pmaps[-1:], batch_size - n, 0)])
+            t0 = time.monotonic()
+            out_u16, abcd = fn(jnp.asarray(emaps), jnp.asarray(pmaps))
+            out_u16 = np.asarray(jax.device_get(out_u16))
+            abcd = np.asarray(jax.device_get(abcd))
+            ms = int((time.monotonic() - t0) * 1000 / n)
+            for j, (i, _, _) in enumerate(chunk):
+                it = items[i]
+                pio.save_png16(it["out"], out_u16[j])
+                res = MergeOutput(out_u16[j], abcd[j], None, 0, ms)
+                gt_file = it.get("gt")
+                if gt_file and os.path.exists(gt_file):
+                    gt = pio.load_image01(gt_file)
+                    res.metrics = pmetrics.paired_metrics(
+                        jnp.asarray(gt), jnp.asarray(emaps[j]),
+                        jnp.asarray(out_u16[j].astype(np.float32) / 65535.0),
+                        align_way=cfg.align_way, cap_depth=cfg.cap_depth,
+                        zenith_range=cfg.zenith_range)
+                    _save_masked_variants(it["out"], out_u16[j], emaps[j],
+                                          gt, cfg)
+                results[i] = res
+    return results
+
+
 def run_batch(
     rgb_folder: str,
     gt_folder: str,
@@ -233,6 +305,7 @@ def run_batch(
     exclude: Optional[List[str]] = None,
     profile: bool = False,
     manifest: bool = True,
+    batch_size: int = 1,
 ) -> List[pmetrics.Metrics]:
     """Batch driver (CreateDepthPanoramas parity, Main.cpp:329-689).
 
@@ -279,6 +352,8 @@ def run_batch(
     all_metrics: List[pmetrics.Metrics] = []
     reg_times, fusion_times = [], []
     completed, skipped, quarantined = [], [], []
+
+    todo = []
     for i, f in enumerate(rgb_files):
         raw = pio.raw_name(f)
         out_file = os.path.join(result_folder, raw + ".png")
@@ -286,26 +361,46 @@ def run_batch(
             log(f"{i}/{len(rgb_files)} skip!")
             skipped.append(raw)
             continue
-        baseline = pio.baseline_filename(baseline_folder, raw, result_folder)
-        gt = pio.gt_filename(gt_folder, raw, dataset)
-        pmaps = pio.pmap_filenames(views_folder, raw, layout, ext=pmap_ext)
-        try:
-            res = merge_depth_maps(baseline, pmaps, out_file, cfg, gt,
-                                   profile=profile)
-        except (FileNotFoundError, ValueError, OSError) as e:
-            log(f"{i}/{len(rgb_files)} FAILED ({e}); quarantined, continuing")
-            quarantined.append({"name": raw, "error": str(e)})
-            continue
+        todo.append(dict(
+            index=i, raw=raw, out=out_file,
+            baseline=pio.baseline_filename(baseline_folder, raw,
+                                           result_folder),
+            gt=pio.gt_filename(gt_folder, raw, dataset),
+            pmaps=pio.pmap_filenames(views_folder, raw, layout, ext=pmap_ext),
+        ))
+
+    def record(i, raw, res):
         completed.append(raw)
         reg_times.append(res.time_reg_ms)
         fusion_times.append(res.time_fusion_ms)
         if res.metrics is not None:
-            res.metrics.save(os.path.join(result_folder, raw + ".aligned.txt"))
+            res.metrics.save(os.path.join(result_folder,
+                                          raw + ".aligned.txt"))
             all_metrics.append(res.metrics)
             res.metrics.print()
         if all_metrics and (i == len(rgb_files) - 1
                             or (i > 0 and i % report_every == 0)):
             _rolling_report(all_metrics, reg_times, fusion_times, log)
+
+    if batch_size > 1:
+        results = merge_many(todo, cfg, batch_size=batch_size, log=log)
+        for it, res in zip(todo, results):
+            if res is None:
+                quarantined.append({"name": it["raw"], "error": "load/merge"})
+            else:
+                record(it["index"], it["raw"], res)
+    else:
+        for it in todo:
+            i, raw = it["index"], it["raw"]
+            try:
+                res = merge_depth_maps(it["baseline"], it["pmaps"], it["out"],
+                                       cfg, it["gt"], profile=profile)
+            except (FileNotFoundError, ValueError, OSError) as e:
+                log(f"{i}/{len(rgb_files)} FAILED ({e}); quarantined, "
+                    "continuing")
+                quarantined.append({"name": raw, "error": str(e)})
+                continue
+            record(i, raw, res)
     if manifest:
         import json
 

@@ -156,3 +156,25 @@ def test_run_batch_resume(scene_files, capsys):
         pmap_ext=".png", log=logs2.append,
     )
     assert any("skip" in l for l in logs2)
+
+
+def test_run_batch_batched_matches_single(scene_files):
+    """batch_size>1 streamed path must produce the same outputs."""
+    import shutil
+
+    root = scene_files["root"]
+    cfg = scene_files["cfg"]
+    r1 = str(root / "result_single") + os.sep
+    r2 = str(root / "result_batched") + os.sep
+    for r in (r1, r2):
+        shutil.rmtree(r, ignore_errors=True)
+    kw = dict(views_folder=str(root / "views"), extract_rgb_views=False,
+              pmap_ext=".png", log=lambda *a: None)
+    pipeline.run_batch(str(root / "rgb"), str(root / "gt"),
+                       str(root / "baseline"), r1, cfg, **kw)
+    pipeline.run_batch(str(root / "rgb"), str(root / "gt"),
+                       str(root / "baseline"), r2, cfg, batch_size=4, **kw)
+    a = pio.load_image01(r1 + "pano_0001.png")
+    b = pio.load_image01(r2 + "pano_0001.png")
+    np.testing.assert_array_equal(a, b)
+    assert os.path.exists(r2 + "manifest.json")
