@@ -1,0 +1,140 @@
+"""Training data pipeline for the on-TPU model families.
+
+The reference has no training code (its CNNs are external); this module
+provides the data side for ours.  Panoramic RGB + gt-depth pairs are
+discovered with the same folder/naming conventions the batch driver uses
+(reference ``Main.cpp:496-549``), and two batch shapes are produced:
+
+* panoramic batches ``(rgb (B, H, W, 3), depth (B, H, W), valid (B, H, W))``
+  for :class:`~panodepth.models.panoramic.PanoBaselineNet`;
+* perspective batches: random viewing windows are sampled on the sphere and
+  both the RGB and the gt depth are gathered through the same window
+  (:mod:`panodepth.ops.projection` math), training
+  :class:`~panodepth.models.perspective.PerspectiveDepthNet` exactly on the
+  distribution stage A produces at inference.
+
+Decoding runs on host threads (native prefetcher when built); batches are
+assembled in numpy and shipped with ``jax.device_put``.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from typing import Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from .. import geometry
+from .. import io as pio
+
+
+def discover_pairs(rgb_folder: str, gt_folder: str,
+                   dataset: str = "matterport") -> List[Tuple[str, str]]:
+    """(rgb, gt) file pairs via the reference naming conventions."""
+    pairs = []
+    for f in pio.list_images(rgb_folder):
+        gt = pio.gt_filename(gt_folder, pio.raw_name(f), dataset)
+        if os.path.exists(gt):
+            pairs.append((f, gt))
+    return pairs
+
+
+def _resize_nearest(img: np.ndarray, h: int, w: int) -> np.ndarray:
+    ys = (np.arange(h) * (img.shape[0] / h)).astype(np.int64)
+    xs = (np.arange(w) * (img.shape[1] / w)).astype(np.int64)
+    return img[ys[:, None], xs[None, :]]
+
+
+def _to_rgb(img: np.ndarray) -> np.ndarray:
+    if img.ndim == 2:
+        return np.stack([img] * 3, -1)
+    return img[..., :3]
+
+
+def pano_batches(pairs: List[Tuple[str, str]], batch_size: int,
+                 width: int = 512, shuffle: bool = True,
+                 seed: int = 0, epochs: Optional[int] = None
+                 ) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """Panoramic (rgb, depth, valid) batches at (width/2, width)."""
+    h, w = width // 2, width
+    rng = np.random.RandomState(seed)
+    epoch = 0
+    while epochs is None or epoch < epochs:
+        order = rng.permutation(len(pairs)) if shuffle else np.arange(
+            len(pairs))
+        for start in range(0, len(order) - batch_size + 1, batch_size):
+            rgbs, depths, valids = [], [], []
+            for k in order[start : start + batch_size]:
+                rgb_f, gt_f = pairs[k]
+                rgb = _to_rgb(pio.load_image01(rgb_f))
+                depth = pio.load_image01(gt_f)
+                depth = depth if depth.ndim == 2 else depth[..., 0]
+                rgbs.append(_resize_nearest(rgb, h, w))
+                d = _resize_nearest(depth, h, w)
+                depths.append(d)
+                valids.append(d >= 1e-4)
+            yield (np.stack(rgbs).astype(np.float32),
+                   np.stack(depths).astype(np.float32),
+                   np.stack(valids))
+        epoch += 1
+
+
+def _sample_window(rng: np.random.RandomState):
+    """Random viewing window in the reference's FOV regime."""
+    fovx = rng.uniform(math.radians(60), math.radians(100))
+    fovy = rng.uniform(math.radians(60), math.radians(100))
+    azi_c = rng.uniform(0, 2 * math.pi)
+    zen_c = rng.uniform(math.radians(45), math.radians(135))
+    return (azi_c - fovx / 2, azi_c + fovx / 2,
+            zen_c - fovy / 2, zen_c + fovy / 2)
+
+
+def _gather_view(img: np.ndarray, fov, h: int, w: int,
+                 nearest: bool) -> np.ndarray:
+    win = geometry.make_window(*fov, xp=np)
+    xs = (np.arange(w) + 0.5) / w
+    ys = (np.arange(h) + 0.5) / h
+    xg, yg = np.meshgrid(xs, ys)
+    azi, zen = geometry.xy_to_spherical(win, xg, yg, xp=np)
+    ih, iw = img.shape[:2]
+    xi = np.clip(((azi % (2 * math.pi)) / (2 * math.pi) * (iw - 1)
+                  + (0 if nearest else 0.5)).astype(np.int64), 0, iw - 1)
+    yi = np.clip((zen / math.pi * (ih - 1)).astype(np.int64), 0, ih - 1)
+    return img[yi, xi]
+
+
+def perspective_batches(pairs: List[Tuple[str, str]], batch_size: int,
+                        view_size: int = 256, shuffle: bool = True,
+                        seed: int = 0, epochs: Optional[int] = None
+                        ) -> Iterator[Tuple[np.ndarray, np.ndarray,
+                                            np.ndarray]]:
+    """Perspective (rgb, depth, valid) crops of (view_size, view_size).
+
+    Each sample draws a random window on a random panorama and gathers RGB
+    and gt depth through it — the same geometry stage A uses, so train and
+    inference distributions match.
+    """
+    rng = np.random.RandomState(seed)
+    epoch = 0
+    while epochs is None or epoch < epochs:
+        order = rng.permutation(len(pairs)) if shuffle else np.arange(
+            len(pairs))
+        for start in range(0, len(order) - batch_size + 1, batch_size):
+            rgbs, depths, valids = [], [], []
+            for k in order[start : start + batch_size]:
+                rgb_f, gt_f = pairs[k]
+                rgb = _to_rgb(pio.load_image01(rgb_f))
+                depth = pio.load_image01(gt_f)
+                depth = depth if depth.ndim == 2 else depth[..., 0]
+                fov = _sample_window(rng)
+                rgbs.append(_gather_view(rgb, fov, view_size, view_size,
+                                         nearest=False))
+                d = _gather_view(depth, fov, view_size, view_size,
+                                 nearest=True)
+                depths.append(d)
+                valids.append(d >= 1e-4)
+            yield (np.stack(rgbs).astype(np.float32),
+                   np.stack(depths).astype(np.float32),
+                   np.stack(valids))
+        epoch += 1

@@ -1,0 +1,107 @@
+"""Training driver: ``python -m panodepth.train_cli <model> rgb/ gt/ ckpt/``.
+
+Trains either model family on a panorama dataset laid out with the
+reference's folder conventions, data-parallel over all local devices, with
+orbax checkpointing and resumable state.  New surface (the reference's CNNs
+are external, reference Main.cpp:465-474); kept deliberately small — the
+model definitions, losses, and sharded step live in
+:mod:`panodepth.models.train`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+
+def build_parser():
+    p = argparse.ArgumentParser(prog="panodepth-train")
+    p.add_argument("model", choices=["perspective", "panoramic"])
+    p.add_argument("rgb_folder")
+    p.add_argument("gt_folder")
+    p.add_argument("ckpt_dir")
+    p.add_argument("--dataset", default="matterport")
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--steps", type=int, default=1000)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--view-size", type=int, default=256)
+    p.add_argument("--pano-width", type=int, default=512)
+    p.add_argument("--ckpt-every", type=int, default=500)
+    p.add_argument("--log-every", type=int, default=20)
+    p.add_argument("--platform", default="auto",
+                   choices=["auto", "cpu", "tpu"])
+    p.add_argument("--width-scale", type=float, default=1.0,
+                   help="scale model widths (quick experiments)")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.platform != "auto":
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from .models import data as pdata
+    from .models import train as ptrain
+    from .models.panoramic import PanoBaselineNet
+    from .models.perspective import PerspectiveDepthNet
+    from .parallel.mesh import make_mesh
+
+    pairs = pdata.discover_pairs(args.rgb_folder, args.gt_folder,
+                                 args.dataset)
+    if not pairs:
+        raise SystemExit("no (rgb, gt) pairs found")
+    print(f"[train] {len(pairs)} pairs, {len(jax.devices())} device(s)")
+
+    s = args.width_scale
+    if args.model == "perspective":
+        model = PerspectiveDepthNet(
+            widths=tuple(max(8, int(w * s)) for w in (64, 128, 256, 512)),
+            decoder_width=max(16, int(128 * s)))
+        batches = pdata.perspective_batches(pairs, args.batch_size,
+                                            view_size=args.view_size)
+        sample = jnp.zeros((1, args.view_size, args.view_size, 3))
+    else:
+        model = PanoBaselineNet(
+            widths=tuple(max(8, int(w * s)) for w in (32, 64, 128, 256)))
+        batches = pdata.pano_batches(pairs, args.batch_size,
+                                     width=args.pano_width)
+        sample = jnp.zeros((1, args.pano_width // 2, args.pano_width, 3))
+
+    tx = ptrain.make_optimizer(lr=args.lr)
+    state = ptrain.init_state(model, jax.random.PRNGKey(0), sample, tx)
+    mesh = make_mesh((len(jax.devices()), 1))
+    step_fn = ptrain.shard_train_step(ptrain.make_train_step(model, tx),
+                                      mesh, "dp")
+    data_sharding = NamedSharding(mesh, P("dp"))
+    state = jax.device_put(state, NamedSharding(mesh, P()))
+
+    ckpt_path = os.path.abspath(os.path.join(args.ckpt_dir, args.model))
+    os.makedirs(args.ckpt_dir, exist_ok=True)
+    t0 = time.monotonic()
+    for step, batch in enumerate(batches):
+        if step >= args.steps:
+            break
+        batch = tuple(jax.device_put(jnp.asarray(b), data_sharding)
+                      for b in batch)
+        state, metrics = step_fn(state, batch)
+        if step % args.log_every == 0:
+            loss = float(metrics["loss"])
+            gn = float(metrics["grad_norm"])
+            rate = (step + 1) * args.batch_size / (time.monotonic() - t0)
+            print(f"[train] step {step} loss {loss:.4f} |g| {gn:.3f} "
+                  f"({rate:.1f} img/s)", flush=True)
+        if step and step % args.ckpt_every == 0:
+            ptrain.save_checkpoint(f"{ckpt_path}_{step}", state)
+    ptrain.save_checkpoint(f"{ckpt_path}_final", state)
+    print(f"[train] done; checkpoint at {ckpt_path}_final")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
