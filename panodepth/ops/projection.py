@@ -74,6 +74,37 @@ def extract_views(rgb, layout: ViewLayout, width: int = 1024) -> List[jnp.ndarra
     return out
 
 
+def elevated_zenith(zenith, camera_height: float = 0.3,
+                    fovy: float = math.radians(45)):
+    """Camera-height zenith remap of ``shaders/fs_perspective_elevated.txt``.
+
+    Translates viewing zeniths of a camera raised by ``camera_height`` on a
+    unit sphere into the zeniths seen from the sphere center
+    (fs_perspective_elevated.txt:29-38): with r = 1 - h, b = r cos(fovy),
+    the ray height h' = b tan(pi/2 - zen) shifts by the camera height.
+    """
+    r = 1.0 - camera_height
+    b = r * math.cos(fovy)
+    h = b * jnp.tan(np.pi / 2 - zenith)
+    return np.pi / 2 - jnp.arctan2(camera_height + h, b)
+
+
+def extract_view_elevated(rgb, fov, width: int = 1024,
+                          camera_height: float = 0.3,
+                          fovy: float = math.radians(45)):
+    """Perspective view from an elevated camera (the unused
+    fs_perspective_elevated shader path): the zenith of every ray is remapped
+    by :func:`elevated_zenith` before sampling."""
+    h, w = view_shape(fov, width)
+    win = geometry.make_window(fov[0], fov[1], fov[2], fov[3], xp=jnp)
+    xs = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w
+    ys = (jnp.arange(h, dtype=jnp.float32) + 0.5) / h
+    xg, yg = jnp.meshgrid(xs, ys)
+    azi, zen = geometry.xy_to_spherical(win, xg, yg, xp=jnp)
+    return sample_equirect_bilinear(rgb, azi,
+                                    elevated_zenith(zen, camera_height, fovy))
+
+
 def depth_view_to_equirect(depth_view, fov, out_width: int, out_height: int):
     """Inverse direction: splat-free gather of a perspective depth map onto
     the equirect grid (used by debugging / visualization paths; fusion uses

@@ -17,7 +17,7 @@ import time
 
 def build_parser():
     p = argparse.ArgumentParser(prog="panodepth-train")
-    p.add_argument("model", choices=["perspective", "panoramic"])
+    p.add_argument("model", choices=["perspective", "panoramic", "hohonet"])
     p.add_argument("rgb_folder")
     p.add_argument("gt_folder")
     p.add_argument("ckpt_dir")
@@ -66,6 +66,15 @@ def main(argv=None) -> int:
         batches = pdata.perspective_batches(pairs, args.batch_size,
                                             view_size=args.view_size)
         sample = jnp.zeros((1, args.view_size, args.view_size, 3))
+    elif args.model == "hohonet":
+        from .models.hohonet import HorizonDepthNet
+
+        model = HorizonDepthNet(
+            widths=tuple(max(8, int(w * s)) for w in (32, 64, 128, 256)),
+            horizon_dim=max(32, int(256 * s)))
+        batches = pdata.pano_batches(pairs, args.batch_size,
+                                     width=args.pano_width)
+        sample = jnp.zeros((1, args.pano_width // 2, args.pano_width, 3))
     else:
         model = PanoBaselineNet(
             widths=tuple(max(8, int(w * s)) for w in (32, 64, 128, 256)))

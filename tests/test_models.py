@@ -95,3 +95,33 @@ def test_checkpoint_roundtrip(tmp_path, tiny_perspective):
     leaves1 = jax.tree.leaves(restored.params)
     for a, b in zip(leaves0, leaves1):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_horizon_depth_net_shapes():
+    from panodepth.models.hohonet import HorizonDepthNet
+
+    model = HorizonDepthNet(widths=(8, 16, 16, 32), horizon_dim=32,
+                            attn_blocks=1)
+    params = model.init(jax.random.PRNGKey(3), jnp.zeros((1, 32, 64, 3)))
+    out = jax.jit(model.apply)(params, jnp.zeros((2, 32, 64, 3)))
+    assert out.shape == (2, 32, 64)
+    o = np.asarray(out)
+    assert (o >= 0).all() and (o <= 1).all()
+
+
+def test_horizon_depth_net_trains():
+    from panodepth.models.hohonet import HorizonDepthNet
+
+    model = HorizonDepthNet(widths=(8, 16, 16, 32), horizon_dim=32,
+                            attn_blocks=1)
+    rng = np.random.RandomState(0)
+    rgb = jnp.asarray(rng.rand(2, 32, 64, 3).astype(np.float32))
+    depth = jnp.asarray(rng.rand(2, 32, 64).astype(np.float32))
+    mask = jnp.ones((2, 32, 64), bool)
+    tx = ptrain.make_optimizer(lr=1e-3)
+    state = ptrain.init_state(model, jax.random.PRNGKey(4), rgb[:1], tx)
+    step = jax.jit(ptrain.make_train_step(model, tx))
+    state, m0 = step(state, (rgb, depth, mask))
+    for _ in range(4):
+        state, m = step(state, (rgb, depth, mask))
+    assert float(m["loss"]) < float(m0["loss"])
