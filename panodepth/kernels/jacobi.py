@@ -93,9 +93,11 @@ def _pallas_jacobi_impl(buf, target, covf, iterations, step, reg, interpret):
     # banded path: K iterations per pass over halo-extended row slabs.
     # Overlapping slabs are materialized by plain XLA slices (vmap-friendly,
     # unlike ANY-space manual DMA); the kernel sees standard VMEM blocks.
-    # Band of 128 keeps the ~8 live slab temporaries of the iteration body
-    # within the 16 MB VMEM scoped limit even under batch vmap.
-    band = 128
+    # The band adapts to the row width so the ~8 live slab temporaries of
+    # the iteration body stay within the 16 MB VMEM scoped limit (with
+    # headroom) even under batch vmap.
+    slab_budget_rows = (10 * 1024 * 1024) // (8 * w * 4)
+    band = max(32, min(128, (slab_budget_rows - 2 * HALO) // 8 * 8))
     n_bands = pl.cdiv(h, band)
     pad_h = n_bands * band
     k = K_PER_PASS

@@ -135,3 +135,19 @@ def test_fused_abcd_matches_explicit_transform(tiny_cfg, tiny_scene):
                            plan)
     out_b, _ = fusion.fuse(emap, pmaps, plan, abcd=abcd)
     np.testing.assert_array_equal(np.asarray(out_a), np.asarray(out_b))
+
+
+def test_four_level_schedule_4096():
+    """The >=4096 path uses the 4-level 200/150/100/50 schedule."""
+    from panodepth.config import MergeConfig, jacobi_schedule
+
+    assert jacobi_schedule(4096) == (200, 150, 100, 50)
+    assert jacobi_schedule(2048) == (200, 100, 50)
+    cfg = MergeConfig(layout_name="test2", out_width=256)
+    plan = fusion.build_fusion_plan(cfg)
+    assert len(plan.levels) == 3
+    cfg4 = MergeConfig(layout_name="test2", out_width=4096)
+    plan4 = fusion.build_fusion_plan(cfg4)
+    assert len(plan4.levels) == 4
+    assert plan4.levels[0].width == 512
+    assert [l.iterations for l in plan4.levels] == [200, 150, 100, 50]
