@@ -165,7 +165,10 @@ def _view_gather_indices(cfg: MergeConfig, lvl_idx: int, view: int,
         return None
     w, h = lvl.width, lvl.height
     ph, pw = pmap_shape
-    xs = np.arange(x_lo - 1, x_hi + 2, dtype=np.int64) % w
+    # ring columns may be -1 or w: the reference computes their azimuth
+    # directly as xx/(width-1)*2pi (Depth.cpp:1591) — periodic in the
+    # trig, NOT equal to the mod-w column's azimuth — so keep them raw
+    xs = np.arange(x_lo - 1, x_hi + 2, dtype=np.int64)
     ys = np.arange(y_lo - 1, y_hi + 2, dtype=np.int64)  # rows never clip
     azi = xs.astype(np.float64) / (w - 1) * TWO_PI
     zen = ys.astype(np.float64) / (h - 1) * np.pi
@@ -196,6 +199,26 @@ def lap4(img):
     return img - 0.25 * (
         jnp.roll(img, 1, axis=1) + jnp.roll(img, -1, axis=1)
         + jnp.roll(img, 1, axis=0) + jnp.roll(img, -1, axis=0)
+    )
+
+
+def lap4_refwrap(img):
+    """5-point Laplacian with the reference's flat-index seam semantics.
+
+    The reference reads stencil taps as ``buffer[yy * width + xx]`` with a
+    flat index (Depth.cpp:1696-1701), so a tap at xx = -1 lands on the
+    *previous* row's last pixel and xx = width on the *next* row's first
+    pixel.  Reproduced here so fused outputs match the reference bit-for-bit
+    at the azimuth seam (the 5-fold layouts cover the easternmost column).
+    """
+    w = img.shape[-1]
+    col = jax.lax.broadcasted_iota(jnp.int32, img.shape, img.ndim - 1)
+    left = jnp.roll(img, 1, axis=-1)
+    left = jnp.where(col == 0, jnp.roll(left, 1, axis=-2), left)
+    right = jnp.roll(img, -1, axis=-1)
+    right = jnp.where(col == w - 1, jnp.roll(right, -1, axis=-2), right)
+    return img - 0.25 * (
+        left + right + jnp.roll(img, 1, axis=-2) + jnp.roll(img, -1, axis=-2)
     )
 
 
@@ -270,7 +293,7 @@ def jacobi(buf, target, covered, iterations, step, reg):
     one_minus_reg = 1.0 - reg
 
     def body(_, B):
-        upd = B + (target - lap4(B)) * step
+        upd = B + (target - lap4_refwrap(B)) * step
         upd = upd * one_minus_reg + B * reg
         upd = jnp.clip(upd, 0.0, 1.0)
         return jnp.where(covered, upd, B)

@@ -108,6 +108,13 @@ def main(argv=None) -> int:
         if step and step % args.ckpt_every == 0:
             ptrain.save_checkpoint(f"{ckpt_path}_{step}", state)
     ptrain.save_checkpoint(f"{ckpt_path}_final", state)
+    # model-architecture sidecar so inference can rebuild the module
+    import json
+
+    arch = dict(model=args.model, width_scale=args.width_scale,
+                view_size=args.view_size, pano_width=args.pano_width)
+    with open(f"{ckpt_path}_final.config.json", "w") as fp:
+        json.dump(arch, fp)
     print(f"[train] done; checkpoint at {ckpt_path}_final")
     return 0
 

@@ -210,9 +210,12 @@ def ref_solve_depth_all(emap, pmaps: List[RefPerspectiveMap], out_width,
                 win = windows[Y * width + X]
                 lap_cur = 0.0
                 for (xx, yy), wgt in win["mask"].items():
-                    assert 0 <= xx < width and 0 <= yy < height, \
-                        "test config must not touch image edges"
-                    lap_cur += buf[yy, xx] * wgt
+                    # the C++ reads buffer[yy*width+xx] with a FLAT index;
+                    # xx outside [0,width) wraps into the adjacent row
+                    # (benign out-of-bounds, Depth.cpp:1696-1701) — emulate
+                    flat = yy * width + xx
+                    flat = min(max(flat, 0), width * height - 1)
+                    lap_cur += buf.flat[flat] * wgt
                 tgt = buf[Y, X] + (win["lap"] - lap_cur) * step_size
                 val = tgt * (1 - reg) + buf[Y, X] * reg
                 new[Y, X] = min(max(val, 0.0), 1.0)
