@@ -32,11 +32,12 @@ Faithfully preserved reference quirks:
 * the final buffer is quantized by C-cast truncation ``(ushort)(v * 65535)``
   (Depth.cpp:1734).
 
-Known deviation: when a stencil tap falls off the left/right image edge the
-reference's flat row-major indexing wraps into the *adjacent row's* opposite
-edge (C++ out-of-bounds read that happens to be benign); we use proper
-same-row azimuth wraparound (``jnp.roll`` on the x axis), which is the
-geometrically intended seam behavior.
+Azimuth-seam semantics (PARITY.md quirk #19): when a Jacobi stencil tap
+falls off the left/right image edge, the reference's flat row-major indexing
+wraps into the *adjacent row's* opposite edge (a benign C++ out-of-bounds
+read that the production layouts actually exercise) — reproduced exactly by
+:func:`lap4_refwrap`; ring-tap azimuths at x = -1/width likewise come from
+the raw column index, not a mod-w wrap.
 """
 
 from __future__ import annotations

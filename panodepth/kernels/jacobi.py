@@ -40,17 +40,9 @@ _SINGLE_BLOCK_BYTES = 4 * 1024 * 1024
 
 
 def _step(B, tgt, cov, step, one_minus_reg, reg):
-    # stencil with the reference's flat-index seam wrap (the x = -1 tap
-    # reads the previous row's last pixel, x = width the next row's first;
-    # see fusion.lap4_refwrap / Depth.cpp:1696-1701)
-    w = B.shape[-1]
-    col = jax.lax.broadcasted_iota(jnp.int32, B.shape, B.ndim - 1)
-    left = jnp.roll(B, 1, 1)
-    left = jnp.where(col == 0, jnp.roll(left, 1, 0), left)
-    right = jnp.roll(B, -1, 1)
-    right = jnp.where(col == w - 1, jnp.roll(right, -1, 0), right)
-    lap = B - 0.25 * (left + right + jnp.roll(B, 1, 0) + jnp.roll(B, -1, 0))
-    upd = B + (tgt - lap) * step
+    from ..fusion import lap4_refwrap
+
+    upd = B + (tgt - lap4_refwrap(B)) * step
     upd = upd * one_minus_reg + B * reg
     upd = jnp.clip(upd, 0.0, 1.0)
     return jnp.where(cov > 0, upd, B)

@@ -92,6 +92,15 @@ def main(argv=None) -> int:
 
     ckpt_path = os.path.abspath(os.path.join(args.ckpt_dir, args.model))
     os.makedirs(args.ckpt_dir, exist_ok=True)
+    # model-architecture sidecar (argv-derived) written up front so EVERY
+    # checkpoint — including intermediates after a crash — is reconstructable
+    import json
+
+    arch = dict(model=args.model, width_scale=args.width_scale,
+                view_size=args.view_size, pano_width=args.pano_width)
+    with open(os.path.join(args.ckpt_dir, f"{args.model}.config.json"),
+              "w") as fp:
+        json.dump(arch, fp)
     t0 = time.monotonic()
     for step, batch in enumerate(batches):
         if step >= args.steps:
@@ -108,13 +117,6 @@ def main(argv=None) -> int:
         if step and step % args.ckpt_every == 0:
             ptrain.save_checkpoint(f"{ckpt_path}_{step}", state)
     ptrain.save_checkpoint(f"{ckpt_path}_final", state)
-    # model-architecture sidecar so inference can rebuild the module
-    import json
-
-    arch = dict(model=args.model, width_scale=args.width_scale,
-                view_size=args.view_size, pano_width=args.pano_width)
-    with open(f"{ckpt_path}_final.config.json", "w") as fp:
-        json.dump(arch, fp)
     print(f"[train] done; checkpoint at {ckpt_path}_final")
     return 0
 

@@ -7,8 +7,6 @@ multiresolution fusion — against the literal loop-based reference
 implementation, at reduced resolution so the oracle stays tractable.
 """
 
-import math
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -16,7 +14,7 @@ import pytest
 
 from panodepth import registration
 from panodepth.config import MergeConfig
-from panodepth.fusion import build_fusion_plan, fuse
+from panodepth.fusion import build_fusion_plan
 from panodepth.pipeline import merge_arrays
 
 from conftest import make_equirect, smooth_depth
