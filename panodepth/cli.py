@@ -54,6 +54,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "stage-separated execution")
     p.add_argument("--batch-size", type=int, default=1,
                    help="merge N panoramas per device launch (streamed)")
+    p.add_argument("--trace", default=None, metavar="DIR",
+                   help="capture a jax profiler trace of the batch into DIR "
+                        "(view with tensorboard/xprof)")
     return p
 
 
@@ -67,14 +70,22 @@ def main(argv=None) -> int:
     from .pipeline import run_batch
 
     cfg = MergeConfig(layout_name=args.layout, out_width=args.out_width)
-    run_batch(
-        args.rgb_folder, args.gt_folder, args.baseline_folder,
-        args.result_folder, cfg,
-        views_folder=args.views_folder, dataset=args.dataset,
-        extract_rgb_views=not args.no_extract, pmap_ext=args.pmap_ext,
-        limit=args.limit, include=args.include, exclude=args.exclude,
-        profile=args.profile, batch_size=args.batch_size,
-    )
+    import contextlib
+
+    tracer = contextlib.nullcontext()
+    if args.trace:
+        import jax
+
+        tracer = jax.profiler.trace(args.trace)
+    with tracer:
+        run_batch(
+            args.rgb_folder, args.gt_folder, args.baseline_folder,
+            args.result_folder, cfg,
+            views_folder=args.views_folder, dataset=args.dataset,
+            extract_rgb_views=not args.no_extract, pmap_ext=args.pmap_ext,
+            limit=args.limit, include=args.include, exclude=args.exclude,
+            profile=args.profile, batch_size=args.batch_size,
+        )
     return 0
 
 

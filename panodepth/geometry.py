@@ -136,6 +136,25 @@ def contains(window: Window, azimuth, zenith, threshold=1e-3, xp=np):
     )
 
 
+def window_coords(middle_coord, azi_half, zen_half):
+    """Spherical coords of a window's 4 corners (WindowCoords parity).
+
+    Given the window center (azi, zen) and half-FOVs, returns the corner
+    coords (left-up, left-down, right-down, right-up), mirroring the debug
+    utility at reference Depth.cpp:2973-3039 (minus its stdout dumps).
+    """
+    a0 = middle_coord[0] - azi_half
+    a1 = middle_coord[0] + azi_half
+    z0 = middle_coord[1] - zen_half
+    z1 = middle_coord[1] + zen_half
+    win = make_window(a0, a1, z0, z1, xp=np)
+    c0 = win.corner0
+    c1 = win.corner0 + win.vedge
+    c2 = win.corner0 + win.hedge + win.vedge
+    c3 = win.corner0 + win.hedge
+    return tuple(world_to_spherical(np.asarray(c)) for c in (c0, c1, c2, c3))
+
+
 def layout_windows(fovs: np.ndarray) -> Window:
     """Stack of windows for an (N, 4) FOV table, computed in float64."""
     f = np.asarray(fovs, np.float64)

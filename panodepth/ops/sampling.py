@@ -51,6 +51,39 @@ def sample_equirect_nearest(img, azimuth, zenith, xp=jnp):
     return img[yi, xi]
 
 
+def rotate_equirect(img, yaw=0.0, pitch=0.0, roll=0.0, out_shape=None):
+    """Resample an equirect image under a 3D rotation (bilinear).
+
+    Covers the tilted top/bottom-cap rendering of the unused
+    ``shaders/fs_equirectangular2.txt`` (per-fragment rotation matrices
+    applied to the view ray before the equirect lookup) and doubles as a
+    panorama rotation augmentation for model training.  Angles in radians:
+    ``yaw`` about +z, ``pitch`` about +y, ``roll`` about +x, applied in that
+    order to each output pixel's ray before sampling the source.
+    """
+    h, w = out_shape if out_shape is not None else img.shape[:2]
+    # same (w-1)/(h-1) texel convention as the other samplers, so the
+    # identity rotation reproduces the source exactly
+    x = jnp.arange(w, dtype=jnp.float32) / (w - 1) * TWO_PI
+    y = jnp.arange(h, dtype=jnp.float32) / (h - 1) * np.pi
+    azi, zen = jnp.meshgrid(x, y)
+    sz = jnp.sin(zen)
+    d = jnp.stack([sz * jnp.cos(azi), sz * jnp.sin(azi), jnp.cos(zen)], -1)
+
+    def rot(axis, angle):
+        c, s = np.cos(angle), np.sin(angle)
+        i, j = {2: (0, 1), 1: (2, 0), 0: (1, 2)}[axis]
+        m = np.eye(3, dtype=np.float32)
+        m[i, i] = c; m[j, j] = c; m[i, j] = -s; m[j, i] = s
+        return m
+
+    m = rot(0, roll) @ rot(1, pitch) @ rot(2, yaw)
+    d = d @ jnp.asarray(m.T)
+    src_azi = jnp.arctan2(d[..., 1], d[..., 0]) % TWO_PI
+    src_zen = jnp.arccos(jnp.clip(d[..., 2], -1.0, 1.0))
+    return sample_equirect_bilinear(img, src_azi, src_zen)
+
+
 def sample_equirect_bilinear(img, azimuth, zenith):
     """Bilinear equirect sampling with azimuth wraparound (stage-A RGB warp).
 

@@ -254,37 +254,53 @@ def merge_many(
         groups.setdefault((emap.shape, pm.shape), []).append((i, emap, pm))
 
     fn = compiled_merge_batched(cfg, jacobi_kind)
+
+    def submit(group, start):
+        chunk = group[start : start + batch_size]
+        n = len(chunk)
+        emaps = np.stack([c[1] for c in chunk])
+        pmaps = np.stack([c[2] for c in chunk])
+        if n < batch_size:  # pad to the compiled batch shape
+            emaps = np.concatenate(
+                [emaps, np.repeat(emaps[-1:], batch_size - n, 0)])
+            pmaps = np.concatenate(
+                [pmaps, np.repeat(pmaps[-1:], batch_size - n, 0)])
+        t0 = time.monotonic()
+        out_u16, abcd = fn(jnp.asarray(emaps), jnp.asarray(pmaps))
+        return chunk, emaps, out_u16, abcd, t0
+
+    def collect(pending):
+        chunk, emaps, out_u16, abcd, t0 = pending
+        out_u16 = np.asarray(jax.device_get(out_u16))
+        abcd = np.asarray(jax.device_get(abcd))
+        ms = int((time.monotonic() - t0) * 1000 / len(chunk))
+        for j, (i, _, _) in enumerate(chunk):
+            it = items[i]
+            pio.save_png16(it["out"], out_u16[j])
+            res = MergeOutput(out_u16[j], abcd[j], None, 0, ms)
+            gt_file = it.get("gt")
+            if gt_file and os.path.exists(gt_file):
+                gt = pio.load_image01(gt_file)
+                res.metrics = pmetrics.paired_metrics(
+                    jnp.asarray(gt), jnp.asarray(emaps[j]),
+                    jnp.asarray(out_u16[j].astype(np.float32) / 65535.0),
+                    align_way=cfg.align_way, cap_depth=cfg.cap_depth,
+                    zenith_range=cfg.zenith_range)
+                _save_masked_variants(it["out"], out_u16[j], emaps[j],
+                                      gt, cfg)
+            results[i] = res
+
+    # double-buffered: submit batch k+1 before reading batch k back, so
+    # host IO/metrics overlap device compute
+    pending = None
     for (eshape, pshape), group in groups.items():
         for start in range(0, len(group), batch_size):
-            chunk = group[start : start + batch_size]
-            n = len(chunk)
-            emaps = np.stack([c[1] for c in chunk])
-            pmaps = np.stack([c[2] for c in chunk])
-            if n < batch_size:  # pad to the compiled batch shape
-                emaps = np.concatenate(
-                    [emaps, np.repeat(emaps[-1:], batch_size - n, 0)])
-                pmaps = np.concatenate(
-                    [pmaps, np.repeat(pmaps[-1:], batch_size - n, 0)])
-            t0 = time.monotonic()
-            out_u16, abcd = fn(jnp.asarray(emaps), jnp.asarray(pmaps))
-            out_u16 = np.asarray(jax.device_get(out_u16))
-            abcd = np.asarray(jax.device_get(abcd))
-            ms = int((time.monotonic() - t0) * 1000 / n)
-            for j, (i, _, _) in enumerate(chunk):
-                it = items[i]
-                pio.save_png16(it["out"], out_u16[j])
-                res = MergeOutput(out_u16[j], abcd[j], None, 0, ms)
-                gt_file = it.get("gt")
-                if gt_file and os.path.exists(gt_file):
-                    gt = pio.load_image01(gt_file)
-                    res.metrics = pmetrics.paired_metrics(
-                        jnp.asarray(gt), jnp.asarray(emaps[j]),
-                        jnp.asarray(out_u16[j].astype(np.float32) / 65535.0),
-                        align_way=cfg.align_way, cap_depth=cfg.cap_depth,
-                        zenith_range=cfg.zenith_range)
-                    _save_masked_variants(it["out"], out_u16[j], emaps[j],
-                                          gt, cfg)
-                results[i] = res
+            nxt = submit(group, start)
+            if pending is not None:
+                collect(pending)
+            pending = nxt
+    if pending is not None:
+        collect(pending)
     return results
 
 

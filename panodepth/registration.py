@@ -214,6 +214,47 @@ def apply_reciprocal(img, abcd):
     return jnp.clip(y, 0.0, 1.0)
 
 
+def fit_poly(x, y, weight, degree: int = 3):
+    """Weighted LSQ fit of y ~ sum_k c_k x^k, highest power first.
+
+    Generalizes :func:`fit_cubic` to the reference's whole functor family:
+    degree 1 = FunctorDepth2Depth/1 (Depth.cpp:1076-1121), 2 =
+    FunctorDepth2Depth2 (Depth.cpp:1091-1106), 3 = FunctorDepth2Depth3 (the
+    active model), 4 = FunctorDepth2Depth4 (Depth.cpp:1139-1156).  Returns
+    (degree+1,) coefficients compatible with ``jnp.polyval``.
+    """
+    if degree == 3:
+        return fit_cubic(x, y, weight)
+    x = x.reshape(-1)
+    y = y.reshape(-1)
+    w = weight.reshape(-1)
+    u = x - 0.5
+    V = jnp.stack([u ** k for k in range(degree, -1, -1)], axis=-1)
+    Vw = V * w[:, None]
+    yw = y * w
+    Q, R = jnp.linalg.qr(Vw)
+    solve = lambda rhs: jax.scipy.linalg.solve_triangular(R, Q.T @ rhs)
+    beta = solve(yw)
+    beta = beta + solve(yw - Vw @ beta)
+    # expand sum_k b_k (x - s)^(d-k) back to powers of x via binomials
+    s = 0.5
+    out = jnp.zeros(degree + 1, beta.dtype)
+    from math import comb
+
+    for k in range(degree + 1):  # term b_k * (x - s)^(d - k)
+        p = degree - k
+        for j in range(p + 1):  # binomial expansion into x^j
+            coeff = comb(p, j) * ((-s) ** (p - j))
+            out = out.at[degree - j].add(beta[k] * coeff)
+    return out
+
+
+def apply_poly(img, coeffs):
+    """Pointwise polynomial remap with the reference's clamps."""
+    x = _clamp(img)
+    return jnp.clip(jnp.polyval(coeffs, x), 0.0, 1.0)
+
+
 def fit_reciprocal(x, y, weight, init=(1.0, 1.0, 1.0, 1.0), iters=50):
     """Levenberg-Marquardt fit of y ~ c / (a x + b) + d (disparity -> depth).
 

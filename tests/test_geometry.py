@@ -103,3 +103,22 @@ def test_contains():
     center_z = (layout.fovs[0][2] + layout.fovs[0][3]) / 2
     assert geometry.contains(win, center_a, center_z)
     assert not geometry.contains(win, center_a + math.pi, center_z)
+
+
+def test_window_coords():
+    """Corner coords of a centered window (WindowCoords parity)."""
+    center = (math.radians(90), math.radians(90))
+    lu, ld, rd, ru = geometry.window_coords(center, math.radians(30),
+                                            math.radians(20))
+    # corners symmetric about the center azimuth
+    assert abs((lu[0] + ru[0]) / 2 - center[0]) < 1e-9
+    # left-up is west of right-up, up is above down
+    assert lu[0] > ru[0] - 2 * math.pi  # azimuths ordered (left = larger azi
+    assert lu[1] < ld[1]
+    # consistency with the window construction itself
+    win = geometry.make_window(center[0] - math.radians(30),
+                               center[0] + math.radians(30),
+                               center[1] - math.radians(20),
+                               center[1] + math.radians(20), xp=np)
+    a, z = geometry.world_to_spherical(np.asarray(win.corner0))
+    np.testing.assert_allclose([lu[0], lu[1]], [a, z], atol=1e-12)

@@ -115,3 +115,25 @@ def test_fit_cubic_global(tiny_cfg, tiny_scene):
     grid = np.linspace(Xv.min(), Xv.max(), 50)
     np.testing.assert_allclose(np.polyval(abcd, grid),
                                np.polyval(oracle, grid), atol=1e-3)
+
+
+def test_fit_poly_degrees():
+    """fit_poly covers the reference's whole functor family (deg 1,2,3,4)."""
+    rng = np.random.RandomState(11)
+    x = rng.uniform(0.05, 0.95, 2000).astype(np.float32)
+    for deg in (1, 2, 3, 4):
+        true = rng.uniform(-0.5, 0.8, deg + 1)
+        y = np.polyval(true, x).astype(np.float32)
+        c = np.asarray(registration.fit_poly(
+            jnp.asarray(x), jnp.asarray(y), jnp.ones_like(jnp.asarray(x)),
+            degree=deg))
+        np.testing.assert_allclose(np.polyval(c, x), y, atol=2e-3,
+                                   err_msg=f"degree {deg}")
+
+
+def test_apply_poly_matches_apply_cubic(tiny_scene):
+    abcd = jnp.asarray([0.3, -0.2, 1.1, 0.05])
+    img = jnp.asarray(tiny_scene["pmaps"][0])
+    np.testing.assert_allclose(
+        np.asarray(registration.apply_poly(img, abcd)),
+        np.asarray(registration.apply_cubic(img, abcd)), atol=1e-6)

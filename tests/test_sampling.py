@@ -65,3 +65,19 @@ def test_bilinear_interpolates():
                                           jnp.asarray([azi]),
                                           jnp.asarray([math.pi / 2]))
     np.testing.assert_allclose(float(v[0]), 0.5, atol=1e-6)
+
+
+def test_rotate_equirect_identity_and_yaw():
+    rng = np.random.RandomState(5)
+    img = rng.rand(32, 64).astype(np.float32)
+    ident = np.asarray(sampling.rotate_equirect(jnp.asarray(img)))
+    # identity rotation resamples at texel positions: close to the original
+    # away from the poles; the last column wraps to azimuth 0 (cols 0 and
+    # w-1 share an azimuth in the inclusive (w-1) convention)
+    np.testing.assert_allclose(ident[8:24, :-1], img[8:24, :-1], atol=0.08)
+    # a yaw by one texel (2pi/(w-1) in this convention) equals a horizontal
+    # roll, away from the seam column
+    yaw = 2 * math.pi / 63
+    rolled = np.asarray(sampling.rotate_equirect(jnp.asarray(img), yaw=yaw))
+    np.testing.assert_allclose(rolled[8:24, 1:-1], np.roll(img, -1, 1)[8:24, 1:-1],
+                               atol=0.08)
