@@ -79,5 +79,6 @@ def test_rotate_equirect_identity_and_yaw():
     # roll, away from the seam column
     yaw = 2 * math.pi / 63
     rolled = np.asarray(sampling.rotate_equirect(jnp.asarray(img), yaw=yaw))
-    np.testing.assert_allclose(rolled[8:24, 1:-1], np.roll(img, -1, 1)[8:24, 1:-1],
-                               atol=0.08)
+    # cols -2/-1 touch the azimuth wrap after the shift; exclude them
+    np.testing.assert_allclose(rolled[8:24, 1:-2],
+                               np.roll(img, -1, 1)[8:24, 1:-2], atol=0.08)
