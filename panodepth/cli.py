@@ -57,6 +57,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--trace", default=None, metavar="DIR",
                    help="capture a jax profiler trace of the batch into DIR "
                         "(view with tensorboard/xprof)")
+    p.add_argument("--persp-ckpt", default=None,
+                   help="run the on-TPU perspective depth model from this "
+                        "checkpoint instead of reading depth views from disk "
+                        "(fully on-device pipeline)")
+    p.add_argument("--baseline-ckpt", default=None,
+                   help="with --persp-ckpt: produce the panoramic baseline "
+                        "with this on-TPU model instead of baseline files")
+    p.add_argument("--view-width", type=int, default=512,
+                   help="perspective inference width in on-device mode")
     return p
 
 
@@ -78,14 +87,24 @@ def main(argv=None) -> int:
 
         tracer = jax.profiler.trace(args.trace)
     with tracer:
-        run_batch(
-            args.rgb_folder, args.gt_folder, args.baseline_folder,
-            args.result_folder, cfg,
-            views_folder=args.views_folder, dataset=args.dataset,
-            extract_rgb_views=not args.no_extract, pmap_ext=args.pmap_ext,
-            limit=args.limit, include=args.include, exclude=args.exclude,
-            profile=args.profile, batch_size=args.batch_size,
-        )
+        if args.persp_ckpt:
+            from .e2e import run_batch_e2e
+
+            run_batch_e2e(
+                args.rgb_folder, args.gt_folder, args.result_folder,
+                args.persp_ckpt, cfg, baseline_ckpt=args.baseline_ckpt,
+                baseline_folder=args.baseline_folder, dataset=args.dataset,
+                view_width=args.view_width, limit=args.limit,
+            )
+        else:
+            run_batch(
+                args.rgb_folder, args.gt_folder, args.baseline_folder,
+                args.result_folder, cfg,
+                views_folder=args.views_folder, dataset=args.dataset,
+                extract_rgb_views=not args.no_extract, pmap_ext=args.pmap_ext,
+                limit=args.limit, include=args.include, exclude=args.exclude,
+                profile=args.profile, batch_size=args.batch_size,
+            )
     return 0
 
 

@@ -97,3 +97,116 @@ def compiled_full_pipeline(cfg: MergeConfig, view_width: int = 512,
                              cfg=cfg, view_width=view_width)
 
     return fn
+
+
+def load_model_checkpoint(ckpt_path: str):
+    """Rebuild a model + params from a train_cli checkpoint + arch sidecar.
+
+    Looks for ``<model>.config.json`` next to the checkpoint directory (the
+    sidecar train_cli writes).  Returns (model, params).
+    """
+    import json
+    import os
+
+    ckpt_dir = os.path.dirname(os.path.abspath(ckpt_path))
+    name = os.path.basename(ckpt_path).split("_")[0]
+    cfg_file = os.path.join(ckpt_dir, f"{name}.config.json")
+    with open(cfg_file) as fp:
+        arch = json.load(fp)
+    s = arch.get("width_scale", 1.0)
+
+    from .models import train as ptrain
+    from .models.hohonet import HorizonDepthNet
+
+    kind = arch["model"]
+    if kind == "perspective":
+        model = PerspectiveDepthNet(
+            widths=tuple(max(8, int(w * s)) for w in (64, 128, 256, 512)),
+            decoder_width=max(16, int(128 * s)))
+        sample = jnp.zeros((1, arch.get("view_size", 256),
+                            arch.get("view_size", 256), 3))
+    elif kind == "hohonet":
+        model = HorizonDepthNet(
+            widths=tuple(max(8, int(w * s)) for w in (32, 64, 128, 256)),
+            horizon_dim=max(32, int(256 * s)))
+        pw = arch.get("pano_width", 512)
+        sample = jnp.zeros((1, pw // 2, pw, 3))
+    else:
+        model = PanoBaselineNet(
+            widths=tuple(max(8, int(w * s)) for w in (32, 64, 128, 256)))
+        pw = arch.get("pano_width", 512)
+        sample = jnp.zeros((1, pw // 2, pw, 3))
+
+    tx = ptrain.make_optimizer()
+    template = ptrain.init_state(model, jax.random.PRNGKey(0), sample, tx)
+    state = ptrain.restore_checkpoint(os.path.abspath(ckpt_path), template)
+    return model, state.params
+
+
+def run_batch_e2e(rgb_folder: str, gt_folder: str, result_folder: str,
+                  persp_ckpt: str, cfg: MergeConfig = MergeConfig(),
+                  baseline_ckpt=None, baseline_folder=None,
+                  dataset: str = "matterport", view_width: int = 512,
+                  limit=None, log=print):
+    """Fully on-device batch: RGB -> models -> registration -> fusion.
+
+    The perspective model is mandatory; the panoramic baseline comes either
+    from a second checkpoint or from baseline files on disk (reference
+    conventions).  Outputs and metrics match run_batch's contract.
+    """
+    import os
+
+    from . import io as pio
+    from . import metrics as pmetrics
+
+    persp_model, persp_params = load_model_checkpoint(persp_ckpt)
+    base_model = base_params = None
+    if baseline_ckpt:
+        base_model, base_params = load_model_checkpoint(baseline_ckpt)
+
+    rgb_files = pio.list_images(rgb_folder)
+    if limit is not None:
+        rgb_files = rgb_files[:limit]
+    os.makedirs(result_folder, exist_ok=True)
+    log(f"[run_batch_e2e] {len(rgb_files)} panoramas, on-device models")
+    all_metrics = []
+    fn = None
+    for i, f in enumerate(rgb_files):
+        raw = pio.raw_name(f)
+        out_file = os.path.join(result_folder, raw + ".png")
+        if os.path.exists(out_file):
+            log(f"{i}/{len(rgb_files)} skip!")
+            continue
+        rgb_np = pio.load_image01(f)
+        if rgb_np.ndim == 2:
+            rgb_np = np.stack([rgb_np] * 3, -1)
+        rgb = jnp.asarray(rgb_np[..., :3])
+        if base_model is not None:
+            if fn is None:
+                fn = jax.jit(lambda r: full_pipeline(
+                    r, persp_model, persp_params, base_model, base_params,
+                    cfg=cfg, view_width=view_width))
+            out_u16, abcd, baseline, _ = fn(rgb)
+        else:
+            bfile = pio.baseline_filename(baseline_folder, raw,
+                                          result_folder)
+            baseline = jnp.asarray(pio.load_image01(bfile))
+            if fn is None:
+                fn = jax.jit(lambda r, b: full_pipeline(
+                    r, persp_model, persp_params, baseline=b, cfg=cfg,
+                    view_width=view_width))
+            out_u16, abcd, baseline, _ = fn(rgb, baseline)
+        out_np = np.asarray(jax.device_get(out_u16))
+        pio.save_png16(out_file, out_np)
+        gt_file = pio.gt_filename(gt_folder, raw, dataset)
+        if os.path.exists(gt_file):
+            gt = pio.load_image01(gt_file)
+            m = pmetrics.paired_metrics(
+                jnp.asarray(gt), baseline,
+                jnp.asarray(out_np.astype(np.float32) / 65535.0),
+                align_way=cfg.align_way, cap_depth=cfg.cap_depth,
+                zenith_range=cfg.zenith_range)
+            m.save(os.path.join(result_folder, raw + ".aligned.txt"))
+            m.print()
+            all_metrics.append(m)
+    return all_metrics
