@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-BATCH = int(os.environ.get("BENCH_BATCH", "4"))
+BATCH = int(os.environ.get("BENCH_BATCH", "8"))
 OUT_WIDTH = int(os.environ.get("BENCH_OUT_WIDTH", "2048"))
 REPS = int(os.environ.get("BENCH_REPS", "5"))
 NORTH_STAR = 30.0  # panoramas/sec on v5e-8 (BASELINE.json)

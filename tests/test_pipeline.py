@@ -178,3 +178,23 @@ def test_run_batch_batched_matches_single(scene_files):
     b = pio.load_image01(r2 + "pano_0001.png")
     np.testing.assert_array_equal(a, b)
     assert os.path.exists(r2 + "manifest.json")
+
+
+@pytest.mark.parametrize("layout", ["4fold", "3fold", "5fold_midas"])
+def test_all_layouts_merge(layout, scene_files):
+    """Every shipped view layout must compile and run through the merge."""
+    import jax
+    import jax.numpy as jnp
+    from panodepth import geometry
+    from panodepth.config import LAYOUTS
+    from panodepth.pipeline import merge_arrays
+
+    cfg = MergeConfig(layout_name=layout, out_width=64)
+    lt = LAYOUTS[layout]()
+    rng = np.random.RandomState(0)
+    emap = jnp.asarray(rng.uniform(0.1, 0.9, (32, 64)).astype(np.float32))
+    pmaps = jnp.asarray(
+        rng.uniform(0.1, 0.9, (lt.num_views, 48, 64)).astype(np.float32))
+    out, abcd = jax.jit(lambda e, p: merge_arrays(e, p, cfg))(emap, pmaps)
+    assert out.shape == (32, 64) and out.dtype == jnp.uint16
+    assert np.isfinite(np.asarray(abcd)).all()
