@@ -158,6 +158,18 @@ class MergeConfig:
     align_way: int = 1                         # median alignment, Depth.cpp:935
     cap_depth: bool = True                     # 10 m cap, Depth.cpp:938
 
+    def __post_init__(self):
+        levels = len(jacobi_schedule(self.out_width))
+        step = 2 ** levels  # width AND height (=width/2) must divide
+        if self.out_width % step != 0 or self.out_width < step * 4:
+            raise ValueError(
+                f"out_width must be a multiple of {step} (pyramid with "
+                f"{levels} levels; reference uses 2048/4096), got "
+                f"{self.out_width}")
+        if self.layout_name not in LAYOUTS:
+            raise ValueError(f"unknown layout {self.layout_name!r}; "
+                             f"have {sorted(LAYOUTS)}")
+
     @property
     def out_height(self) -> int:
         return self.out_width // 2
