@@ -55,11 +55,18 @@ def main(argv=None) -> int:
             align_way=args.align, cap_depth=not args.no_cap,
             shifted_filename=args.shifted_out)
     else:
+        import numpy as np
+
         gt = pio.load_image01(args.gt)
         pred = pio.load_image01(args.prediction)
         res = pmetrics.error_metrics(
             jnp.asarray(gt), jnp.asarray(pred), align_way=args.align,
             cap_depth=not args.no_cap)
+        if args.shifted_out:
+            # reference ErrorCompare writes the prediction values as loaded
+            # (Depth.cpp:2611-2630)
+            p2 = pred if pred.ndim == 2 else pred[..., 0]
+            pio.save_png8(args.shifted_out, np.maximum(p2, 0.0))
 
     out = {k: float(v) for k, v in res.items() if k != "least_square"}
     out["rmse"] = math.sqrt(out["mse"])

@@ -84,26 +84,11 @@ def full_pipeline(rgb, persp_model: PerspectiveDepthNet, persp_params,
     return out_u16, abcd, baseline, pstack
 
 
-@functools.lru_cache(maxsize=4)
-def compiled_full_pipeline(cfg: MergeConfig, view_width: int = 512,
-                           persp_kwargs: tuple = (), base_kwargs: tuple = ()):
-    """jit of :func:`full_pipeline` with models built from kwargs tuples."""
-    persp = PerspectiveDepthNet(**dict(persp_kwargs))
-    base = PanoBaselineNet(**dict(base_kwargs))
-
-    @jax.jit
-    def fn(rgb, persp_params, base_params):
-        return full_pipeline(rgb, persp, persp_params, base, base_params,
-                             cfg=cfg, view_width=view_width)
-
-    return fn
-
-
 def load_model_checkpoint(ckpt_path: str):
     """Rebuild a model + params from a train_cli checkpoint + arch sidecar.
 
     Looks for ``<model>.config.json`` next to the checkpoint directory (the
-    sidecar train_cli writes).  Returns (model, params).
+    sidecar train_cli writes).  Returns (model, params, arch_dict).
     """
     import json
     import os
@@ -140,7 +125,7 @@ def load_model_checkpoint(ckpt_path: str):
     tx = ptrain.make_optimizer()
     template = ptrain.init_state(model, jax.random.PRNGKey(0), sample, tx)
     state = ptrain.restore_checkpoint(os.path.abspath(ckpt_path), template)
-    return model, state.params
+    return model, state.params, arch
 
 
 def run_batch_e2e(rgb_folder: str, gt_folder: str, result_folder: str,
@@ -159,10 +144,15 @@ def run_batch_e2e(rgb_folder: str, gt_folder: str, result_folder: str,
     from . import io as pio
     from . import metrics as pmetrics
 
-    persp_model, persp_params = load_model_checkpoint(persp_ckpt)
+    persp_model, persp_params, _ = load_model_checkpoint(persp_ckpt)
     base_model = base_params = None
+    base_w = 512
     if baseline_ckpt:
-        base_model, base_params = load_model_checkpoint(baseline_ckpt)
+        base_model, base_params, base_arch = load_model_checkpoint(
+            baseline_ckpt)
+        # fixed-width families (hohonet's column decoder) must run at their
+        # training resolution; the 0~1 baseline works at any size downstream
+        base_w = base_arch.get("pano_width", 512)
 
     rgb_files = pio.list_images(rgb_folder)
     if limit is not None:
@@ -183,9 +173,15 @@ def run_batch_e2e(rgb_folder: str, gt_folder: str, result_folder: str,
         rgb = jnp.asarray(rgb_np[..., :3])
         if base_model is not None:
             if fn is None:
-                fn = jax.jit(lambda r: full_pipeline(
-                    r, persp_model, persp_params, base_model, base_params,
-                    cfg=cfg, view_width=view_width))
+                def _pipeline_with_model(r):
+                    r_base = jax.image.resize(
+                        r, (base_w // 2, base_w, 3), "bilinear")
+                    baseline = base_model.apply(base_params, r_base[None])[0]
+                    return full_pipeline(
+                        r, persp_model, persp_params, baseline=baseline,
+                        cfg=cfg, view_width=view_width)
+
+                fn = jax.jit(_pipeline_with_model)
             out_u16, abcd, baseline, _ = fn(rgb)
         else:
             bfile = pio.baseline_filename(baseline_folder, raw,

@@ -58,6 +58,9 @@ def pano_batches(pairs: List[Tuple[str, str]], batch_size: int,
                  ) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
     """Panoramic (rgb, depth, valid) batches at (width/2, width)."""
     h, w = width // 2, width
+    if len(pairs) < batch_size:
+        raise ValueError(
+            f"need at least batch_size={batch_size} pairs, have {len(pairs)}")
     rng = np.random.RandomState(seed)
     epoch = 0
     while epochs is None or epoch < epochs:
@@ -115,6 +118,9 @@ def perspective_batches(pairs: List[Tuple[str, str]], batch_size: int,
     and gt depth through it — the same geometry stage A uses, so train and
     inference distributions match.
     """
+    if len(pairs) < batch_size:
+        raise ValueError(
+            f"need at least batch_size={batch_size} pairs, have {len(pairs)}")
     rng = np.random.RandomState(seed)
     epoch = 0
     while epochs is None or epoch < epochs:

@@ -57,7 +57,8 @@ class HorizonAttention(nn.Module):
 class HorizonDepthNet(nn.Module):
     """HoHoNet-class: (B, H, W, 3) equirect RGB -> (B, H, W) depth in 0~1.
 
-    W must be a multiple of 16 and H = W/2.
+    W must be a multiple of 32 (so H = W/2 is a multiple of 16; the decoder
+    expands H/16 horizon columns by 16x).
     """
 
     widths: Sequence[int] = (32, 64, 128, 256)
@@ -68,6 +69,10 @@ class HorizonDepthNet(nn.Module):
     @nn.compact
     def __call__(self, rgb):
         b, h, w, _ = rgb.shape
+        if w % 32 != 0 or h % 16 != 0:
+            raise ValueError(
+                f"HorizonDepthNet needs W % 32 == 0 and H % 16 == 0 "
+                f"(decoder upsamples H/16 by 16x), got ({h}, {w})")
         x = rgb.astype(self.dtype)
         for width in self.widths:  # -> (B, H/16, W/16, C)
             x = ResBlock(width, stride=2, dtype=self.dtype)(x)

@@ -21,8 +21,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
 
@@ -84,8 +83,4 @@ def fuse_spatial(emap, pmaps, plan, mesh: Mesh, axis: str = "sp",
     from ..fusion import fuse
 
     relax = functools.partial(jacobi_spatial, mesh=mesh, axis=axis)
-
-    def relax_fn(buf, target, covered, iterations, step, reg):
-        return relax(buf, target, covered, iterations, step, reg)
-
-    return fuse(emap, pmaps, plan, jacobi_fn=relax_fn, abcd=abcd)
+    return fuse(emap, pmaps, plan, jacobi_fn=relax, abcd=abcd)
