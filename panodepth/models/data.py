@@ -46,6 +46,42 @@ def _resize_nearest(img: np.ndarray, h: int, w: int) -> np.ndarray:
     return img[ys[:, None], xs[None, :]]
 
 
+def _load_pair_chunk(chunk: List[Tuple[str, str]]
+                     ) -> List[Tuple[np.ndarray, np.ndarray]]:
+    """Decode a chunk of (rgb, gt) pairs, threaded through the native
+    prefetcher for PNG inputs (python decoders otherwise)."""
+    from ..utils import nativeio
+
+    files = [f for pair in chunk for f in pair]
+    if nativeio.available() and all(
+            f.lower().endswith(".png") for f in files):
+        pf = nativeio.BatchPrefetcher(files, threads=8)
+        try:
+            imgs = [pf.get(i) for i in range(len(files))]
+        finally:
+            pf.close()
+        if all(im is not None for im in imgs):
+            return [(imgs[2 * i], imgs[2 * i + 1])
+                    for i in range(len(chunk))]
+    return [(pio.load_image01(r), pio.load_image01(g)) for r, g in chunk]
+
+
+def _prefetched(items, fn):
+    """Map ``fn`` over ``items`` with one-item lookahead on a background
+    thread, so decoding batch k+1 overlaps the training step on batch k."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(1) as ex:
+        fut = None
+        for item in items:
+            nxt = ex.submit(fn, item)
+            if fut is not None:
+                yield fut.result()
+            fut = nxt
+        if fut is not None:
+            yield fut.result()
+
+
 def _to_rgb(img: np.ndarray) -> np.ndarray:
     if img.ndim == 2:
         return np.stack([img] * 3, -1)
@@ -62,25 +98,30 @@ def pano_batches(pairs: List[Tuple[str, str]], batch_size: int,
         raise ValueError(
             f"need at least batch_size={batch_size} pairs, have {len(pairs)}")
     rng = np.random.RandomState(seed)
-    epoch = 0
-    while epochs is None or epoch < epochs:
-        order = rng.permutation(len(pairs)) if shuffle else np.arange(
-            len(pairs))
-        for start in range(0, len(order) - batch_size + 1, batch_size):
-            rgbs, depths, valids = [], [], []
-            for k in order[start : start + batch_size]:
-                rgb_f, gt_f = pairs[k]
-                rgb = _to_rgb(pio.load_image01(rgb_f))
-                depth = pio.load_image01(gt_f)
-                depth = depth if depth.ndim == 2 else depth[..., 0]
-                rgbs.append(_resize_nearest(rgb, h, w))
-                d = _resize_nearest(depth, h, w)
-                depths.append(d)
-                valids.append(d >= 1e-4)
-            yield (np.stack(rgbs).astype(np.float32),
-                   np.stack(depths).astype(np.float32),
-                   np.stack(valids))
-        epoch += 1
+
+    def assemble(chunk):
+        rgbs, depths, valids = [], [], []
+        for rgb, depth in _load_pair_chunk(chunk):
+            rgb = _to_rgb(rgb)
+            depth = depth if depth.ndim == 2 else depth[..., 0]
+            rgbs.append(_resize_nearest(rgb, h, w))
+            d = _resize_nearest(depth, h, w)
+            depths.append(d)
+            valids.append(d >= 1e-4)
+        return (np.stack(rgbs).astype(np.float32),
+                np.stack(depths).astype(np.float32),
+                np.stack(valids))
+
+    def chunks():
+        epoch = 0
+        while epochs is None or epoch < epochs:
+            order = rng.permutation(len(pairs)) if shuffle else np.arange(
+                len(pairs))
+            for start in range(0, len(order) - batch_size + 1, batch_size):
+                yield [pairs[k] for k in order[start : start + batch_size]]
+            epoch += 1
+
+    yield from _prefetched(chunks(), assemble)
 
 
 def _sample_window(rng: np.random.RandomState):
@@ -122,25 +163,33 @@ def perspective_batches(pairs: List[Tuple[str, str]], batch_size: int,
         raise ValueError(
             f"need at least batch_size={batch_size} pairs, have {len(pairs)}")
     rng = np.random.RandomState(seed)
-    epoch = 0
-    while epochs is None or epoch < epochs:
-        order = rng.permutation(len(pairs)) if shuffle else np.arange(
-            len(pairs))
-        for start in range(0, len(order) - batch_size + 1, batch_size):
-            rgbs, depths, valids = [], [], []
-            for k in order[start : start + batch_size]:
-                rgb_f, gt_f = pairs[k]
-                rgb = _to_rgb(pio.load_image01(rgb_f))
-                depth = pio.load_image01(gt_f)
-                depth = depth if depth.ndim == 2 else depth[..., 0]
-                fov = _sample_window(rng)
-                rgbs.append(_gather_view(rgb, fov, view_size, view_size,
-                                         nearest=False))
-                d = _gather_view(depth, fov, view_size, view_size,
-                                 nearest=True)
-                depths.append(d)
-                valids.append(d >= 1e-4)
-            yield (np.stack(rgbs).astype(np.float32),
-                   np.stack(depths).astype(np.float32),
-                   np.stack(valids))
-        epoch += 1
+
+    def assemble(work):
+        chunk, fovs = work
+        rgbs, depths, valids = [], [], []
+        for (rgb, depth), fov in zip(_load_pair_chunk(chunk), fovs):
+            rgb = _to_rgb(rgb)
+            depth = depth if depth.ndim == 2 else depth[..., 0]
+            rgbs.append(_gather_view(rgb, fov, view_size, view_size,
+                                     nearest=False))
+            d = _gather_view(depth, fov, view_size, view_size,
+                             nearest=True)
+            depths.append(d)
+            valids.append(d >= 1e-4)
+        return (np.stack(rgbs).astype(np.float32),
+                np.stack(depths).astype(np.float32),
+                np.stack(valids))
+
+    def work_items():
+        # windows are drawn on the main thread so the single rng stays
+        # race-free under the lookahead decode thread
+        epoch = 0
+        while epochs is None or epoch < epochs:
+            order = rng.permutation(len(pairs)) if shuffle else np.arange(
+                len(pairs))
+            for start in range(0, len(order) - batch_size + 1, batch_size):
+                chunk = [pairs[k] for k in order[start : start + batch_size]]
+                yield chunk, [_sample_window(rng) for _ in chunk]
+            epoch += 1
+
+    yield from _prefetched(work_items(), assemble)

@@ -17,11 +17,9 @@ Two axes are exposed:
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -58,14 +56,3 @@ def batched_merge(cfg: MergeConfig, mesh: Mesh, jacobi_fn=None):
     out_s = (NamedSharding(mesh, P("dp", None, "sp")),
              NamedSharding(mesh, P("dp", None, None)))
     return jax.jit(fn, in_shardings=in_s, out_shardings=out_s)
-
-
-@functools.lru_cache(maxsize=8)
-def batched_metrics(mesh_key=None):
-    """Batched median-aligned metrics with the reduction over the mesh."""
-    from ..metrics import error_metrics
-
-    def fn(gts, givens):
-        return jax.vmap(lambda g, p: error_metrics(g, p))(gts, givens)
-
-    return jax.jit(fn)

@@ -126,7 +126,10 @@ class MergeOutput:
     out_u16: np.ndarray
     abcd: np.ndarray
     metrics: Optional[pmetrics.Metrics]
-    time_reg_ms: int
+    # per-item registration time; None when the stages ran as one fused
+    # graph and the split is not observable (report it as unavailable
+    # rather than 0 — reference prints a real split, Main.cpp:667-681)
+    time_reg_ms: Optional[int]
     time_fusion_ms: int
 
 
@@ -171,7 +174,7 @@ def merge_depth_maps(
         out_u16, abcd = fn(jnp.asarray(emap), jnp.asarray(pmaps))
         out_u16 = np.asarray(jax.device_get(out_u16))
         abcd = np.asarray(jax.device_get(abcd))
-        reg_ms, fus_ms = 0, int((time.monotonic() - t0) * 1000)
+        reg_ms, fus_ms = None, int((time.monotonic() - t0) * 1000)
 
     pio.save_png16(out_filename, out_u16)
 
@@ -217,10 +220,125 @@ def _save_masked_variants(out_filename, out_u16, emap, gt, cfg: MergeConfig):
 
 
 @functools.lru_cache(maxsize=8)
+def _compiled_extract_batched(cfg: MergeConfig, width: int):
+    """Stage-A extraction jitted as one launch per same-shape view group,
+    batched over panoramas (the reference renders view-by-view per panorama,
+    Main.cpp:242-326).  Returns (jitted fn over (B, H, W, C) stacks,
+    [(view_shape, view_indices), ...])."""
+    from .ops.projection import extract_view, view_shape
+
+    layout = cfg.layout
+    shapes = [view_shape(layout.fovs[i], width)
+              for i in range(layout.num_views)]
+    grouped = {}
+    for i, s in enumerate(shapes):
+        grouped.setdefault(s, []).append(i)
+    groups = list(grouped.items())
+
+    def fn(rgbs):
+        outs = []
+        for shape, idxs in groups:
+            fovs = jnp.asarray(np.stack([layout.fovs[i] for i in idxs]),
+                               jnp.float32)
+            one = lambda r, f: extract_view(r, f, width, shape)
+            outs.append(jax.vmap(jax.vmap(one, in_axes=(None, 0)),
+                                 in_axes=(0, None))(rgbs, fovs))
+        return outs
+
+    return jax.jit(fn), groups
+
+
+def extract_stage_a(rgb_files, views_folder: str, cfg: MergeConfig,
+                    width: int = 1024, pmap_ext: str = ".jpg",
+                    batch_size: int = 4, log=print) -> int:
+    """Extract perspective RGB views for every listed panorama (stage A).
+
+    Panoramas are batched (grouped by image shape) so each device launch
+    covers one view-shape group for the whole batch; JPEG writes for batch k
+    overlap device compute for batch k+1 (double buffering).  Panoramas
+    whose view files all exist are skipped.  Returns the number extracted.
+    """
+    layout = cfg.layout
+    os.makedirs(views_folder, exist_ok=True)
+    todo = []
+    for f in rgb_files:
+        raw = pio.raw_name(f)
+        outs = pio.pmap_filenames(views_folder, raw, layout, ext=pmap_ext)
+        if not all(os.path.exists(o) for o in outs):
+            todo.append((f, outs))
+    if not todo:
+        return 0
+    fn, groups = _compiled_extract_batched(cfg, width)
+
+    def submit(batch):
+        rgbs = jnp.asarray(np.stack([b[0] for b in batch]))
+        return batch, fn(rgbs)
+
+    def collect(pending):
+        batch, dev = pending
+        for g, (_, idxs) in enumerate(groups):
+            arr = np.asarray(jax.device_get(dev[g]))  # (B, |idxs|, h, w, C)
+            for bi, (_, outs) in enumerate(batch):
+                for j, vi in enumerate(idxs):
+                    pio.save_jpg(outs[vi], arr[bi, j])
+
+    pending = None
+    batch = []
+    cur_shape = None
+    for f, outs in todo:
+        rgb = pio.load_image01(f)
+        if rgb.ndim == 2:
+            rgb = np.stack([rgb] * 3, -1)
+        rgb = rgb[..., :3]
+        if batch and (rgb.shape != cur_shape or len(batch) == batch_size):
+            nxt = submit(batch)
+            if pending is not None:
+                collect(pending)
+            pending = nxt
+            batch = []
+        cur_shape = rgb.shape
+        batch.append((rgb, outs))
+    if batch:
+        nxt = submit(batch)
+        if pending is not None:
+            collect(pending)
+        pending = nxt
+    if pending is not None:
+        collect(pending)
+    return len(todo)
+
+
+@functools.lru_cache(maxsize=8)
 def compiled_merge_batched(cfg: MergeConfig, jacobi_kind: str = "auto"):
     jacobi_fn = _resolve_jacobi(jacobi_kind)
     return jax.jit(jax.vmap(
         lambda e, p: merge_arrays(e, p, cfg, jacobi_fn)))
+
+
+@functools.lru_cache(maxsize=8)
+def compiled_merge_staged_batched(cfg: MergeConfig, jacobi_kind: str = "auto"):
+    """Batched registration and fusion as two separately-jitted graphs.
+
+    The profiling counterpart of :func:`compiled_merge_batched`: a host sync
+    between the stages yields the reference's time_Reg / time_Laplacian
+    split (Main.cpp:667-681) for batch runs too.
+    """
+    jacobi_fn = _resolve_jacobi(jacobi_kind)
+    plan = build_fusion_plan(cfg)
+
+    @jax.jit
+    def reg_fn(emaps, pmaps):
+        abcd = jax.vmap(
+            lambda e, p: registration.register_views(e, p, cfg))(emaps, pmaps)
+        return abcd, jax.vmap(jax.vmap(registration.apply_cubic))(pmaps, abcd)
+
+    @jax.jit
+    def fuse_fn(emaps, pmaps_reg):
+        return jax.vmap(
+            lambda e, p: fuse(e, p, plan, jacobi_fn=jacobi_fn)[0])(
+                emaps, pmaps_reg)
+
+    return reg_fn, fuse_fn
 
 
 def merge_many(
@@ -229,6 +347,7 @@ def merge_many(
     batch_size: int = 4,
     jacobi_kind: str = "auto",
     log=print,
+    profile: bool = False,
 ):
     """Streamed batched merge of many panoramas.
 
@@ -238,6 +357,11 @@ def merge_many(
     for the current one (the device queue is only fenced when results are
     read back for writing).  Returns a list of (item, MergeOutput) in input
     order; failed items get None and are reported via ``log``.
+
+    With ``profile=True`` registration and fusion run as separate graphs
+    with a host sync between, so each item carries a real time_Reg /
+    time_Laplacian split (at a small pipelining cost); otherwise the split
+    is reported as unavailable (``time_reg_ms=None``).
     """
     results = [None] * len(items)
     loaded = []  # (index, emap, pmaps)
@@ -253,7 +377,10 @@ def merge_many(
     for i, emap, pm in loaded:
         groups.setdefault((emap.shape, pm.shape), []).append((i, emap, pm))
 
-    fn = compiled_merge_batched(cfg, jacobi_kind)
+    if profile:
+        reg_fn, fuse_fn = compiled_merge_staged_batched(cfg, jacobi_kind)
+    else:
+        fn = compiled_merge_batched(cfg, jacobi_kind)
 
     def submit(group, start):
         chunk = group[start : start + batch_size]
@@ -266,18 +393,27 @@ def merge_many(
             pmaps = np.concatenate(
                 [pmaps, np.repeat(pmaps[-1:], batch_size - n, 0)])
         t0 = time.monotonic()
-        out_u16, abcd = fn(jnp.asarray(emaps), jnp.asarray(pmaps))
-        return chunk, emaps, out_u16, abcd, t0
+        reg_ms = None
+        if profile:
+            emaps_d, pmaps_d = jnp.asarray(emaps), jnp.asarray(pmaps)
+            abcd, pmaps_reg = reg_fn(emaps_d, pmaps_d)
+            _host_sync(abcd)
+            reg_ms = int((time.monotonic() - t0) * 1000 / n)
+            t0 = time.monotonic()
+            out_u16 = fuse_fn(emaps_d, pmaps_reg)
+        else:
+            out_u16, abcd = fn(jnp.asarray(emaps), jnp.asarray(pmaps))
+        return chunk, emaps, out_u16, abcd, t0, reg_ms
 
     def collect(pending):
-        chunk, emaps, out_u16, abcd, t0 = pending
+        chunk, emaps, out_u16, abcd, t0, reg_ms = pending
         out_u16 = np.asarray(jax.device_get(out_u16))
         abcd = np.asarray(jax.device_get(abcd))
         ms = int((time.monotonic() - t0) * 1000 / len(chunk))
         for j, (i, _, _) in enumerate(chunk):
             it = items[i]
             pio.save_png16(it["out"], out_u16[j])
-            res = MergeOutput(out_u16[j], abcd[j], None, 0, ms)
+            res = MergeOutput(out_u16[j], abcd[j], None, reg_ms, ms)
             gt_file = it.get("gt")
             if gt_file and os.path.exists(gt_file):
                 gt = pio.load_image01(gt_file)
@@ -336,8 +472,6 @@ def run_batch(
     (Main.cpp:357-407).  A ``manifest.json`` records completed and
     quarantined items plus timing for elastic resume.
     """
-    from .ops.projection import extract_views  # lazy: pulls in jax trace
-
     rgb_files = pio.list_images(rgb_folder)
     if include:
         rgb_files = [f for f in rgb_files
@@ -350,19 +484,14 @@ def run_batch(
     log(f"[run_batch] {len(rgb_files)} RGB panoramas")
     layout = cfg.layout
 
+    stage_a_ms = 0
     if extract_rgb_views and rgb_files:
         os.makedirs(views_folder, exist_ok=True)
         t0 = time.monotonic()
-        for f in rgb_files:
-            raw = pio.raw_name(f)
-            outs = pio.pmap_filenames(views_folder, raw, layout, ext=pmap_ext)
-            if all(os.path.exists(o) for o in outs):
-                continue
-            rgb = pio.load_image01(f)
-            views = extract_views(jnp.asarray(rgb), layout)
-            for v, out in zip(views, outs):
-                pio.save_jpg(out, np.asarray(jax.device_get(v)))
-        log(f"[run_batch] stage A done in {time.monotonic() - t0:.1f}s")
+        extract_stage_a(rgb_files, views_folder, cfg, pmap_ext=pmap_ext,
+                        batch_size=max(batch_size, 4))
+        stage_a_ms = int((time.monotonic() - t0) * 1000)
+        log(f"[run_batch] stage A done in {stage_a_ms / 1000:.1f}s")
 
     os.makedirs(result_folder, exist_ok=True)
     all_metrics: List[pmetrics.Metrics] = []
@@ -387,7 +516,8 @@ def run_batch(
 
     def record(i, raw, res):
         completed.append(raw)
-        reg_times.append(res.time_reg_ms)
+        if res.time_reg_ms is not None:
+            reg_times.append(res.time_reg_ms)
         fusion_times.append(res.time_fusion_ms)
         if res.metrics is not None:
             res.metrics.save(os.path.join(result_folder,
@@ -399,7 +529,8 @@ def run_batch(
             _rolling_report(all_metrics, reg_times, fusion_times, log)
 
     if batch_size > 1:
-        results = merge_many(todo, cfg, batch_size=batch_size, log=log)
+        results = merge_many(todo, cfg, batch_size=batch_size, log=log,
+                             profile=profile)
         for it, res in zip(todo, results):
             if res is None:
                 quarantined.append({"name": it["raw"], "error": "load/merge"})
@@ -427,6 +558,7 @@ def run_batch(
                 "quarantined": quarantined,
                 "time_reg_ms": reg_times,
                 "time_fusion_ms": fusion_times,
+                "stage_a_ms": stage_a_ms,
                 "config": {"layout": cfg.layout_name,
                            "out_width": cfg.out_width},
             }, fp, indent=1)
@@ -454,7 +586,9 @@ def _rolling_report(ms: List[pmetrics.Metrics], reg, fus, log):
         f" delta3_given:{avg(lambda m: m.delta3_given):.6f}"
         f" delta3_result:{avg(lambda m: m.delta3_result):.6f}"
     )
-    if reg:
-        log(f"time_Reg_avg:{sum(reg) / len(reg):.1f}"
+    reg_avg = (f"{sum(reg) / len(reg):.1f}" if reg
+               else "n/a (fused graph; use --profile)")
+    if fus:
+        log(f"time_Reg_avg:{reg_avg}"
             f" time_Laplacian_avg:{sum(fus) / len(fus):.1f}")
     log("-" * 10)

@@ -198,3 +198,63 @@ def test_all_layouts_merge(layout, scene_files):
     out, abcd = jax.jit(lambda e, p: merge_arrays(e, p, cfg))(emap, pmaps)
     assert out.shape == (32, 64) and out.dtype == jnp.uint16
     assert np.isfinite(np.asarray(abcd)).all()
+
+
+def test_run_batch_batched_profile_split(scene_files):
+    """--profile with batch_size>1 must report a real reg/fusion split."""
+    import json
+    import shutil
+
+    root = scene_files["root"]
+    cfg = scene_files["cfg"]
+    r1 = str(root / "result_single") + os.sep
+    rp = str(root / "result_batched_prof") + os.sep
+    shutil.rmtree(rp, ignore_errors=True)
+    kw = dict(views_folder=str(root / "views"), extract_rgb_views=False,
+              pmap_ext=".png", log=lambda *a: None)
+    pipeline.run_batch(str(root / "rgb"), str(root / "gt"),
+                       str(root / "baseline"), rp, cfg, batch_size=4,
+                       profile=True, **kw)
+    a = pio.load_image01(r1 + "pano_0001.png")
+    b = pio.load_image01(rp + "pano_0001.png")
+    np.testing.assert_array_equal(a, b)
+    with open(rp + "manifest.json") as fp:
+        man = json.load(fp)
+    # the staged path measures registration for real (not the old silent 0)
+    assert len(man["time_reg_ms"]) == 1
+    assert man["time_reg_ms"][0] >= 0
+    assert len(man["time_fusion_ms"]) == 1
+
+
+def test_extract_stage_a_batched(scene_files, tmp_path):
+    """Batched stage A writes every view file and matches extract_views."""
+    import jax
+
+    from panodepth.ops.projection import extract_views
+
+    root = scene_files["root"]
+    cfg = MergeConfig(out_width=128)  # production 15-view layout
+    layout = cfg.layout
+    vdir = str(tmp_path / "views_a")
+    rgb_files = pio.list_images(str(root / "rgb"))
+    n = pipeline.extract_stage_a(rgb_files, vdir, cfg, width=96,
+                                 batch_size=4)
+    assert n == len(rgb_files)
+    # outputs match the unbatched per-view extraction (same jpeg encode)
+    rgb = pio.load_image01(rgb_files[0])
+    if rgb.ndim == 2:
+        rgb = np.stack([rgb] * 3, -1)
+    views = extract_views(jnp.asarray(rgb[..., :3]), layout, width=96)
+    raw = pio.raw_name(rgb_files[0])
+    outs = pio.pmap_filenames(vdir, raw, layout, ext=".jpg")
+    for v, out in zip(views, outs):
+        assert os.path.exists(out)
+        got = pio.load_image01(out)
+        ref_dir = str(tmp_path / "ref.jpg")
+        pio.save_jpg(ref_dir, np.asarray(jax.device_get(v)))
+        want = pio.load_image01(ref_dir)
+        # batched vs solo launches may differ by one float ulp, which can
+        # flip a u8 quantization step through the JPEG encode
+        np.testing.assert_allclose(got, want, atol=1.01 / 255)
+    # second call: everything exists, nothing re-extracted
+    assert pipeline.extract_stage_a(rgb_files, vdir, cfg, width=96) == 0
