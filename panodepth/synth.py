@@ -1,0 +1,353 @@
+"""Procedural synthetic scenes with analytic ground-truth depth.
+
+The reference's CNNs are trained externally on Matterport3D-class datasets
+(reference ``Main.cpp:465-474``; ``README.md`` "Datasets"), none of which are
+redistributable here.  This module replaces the data dependency with a
+procedural scene generator: indoor-style scenes (an axis-aligned room around
+the camera plus sphere / box "furniture" with procedural textures and simple
+shading) rendered *analytically* — every ray's depth is exact geometry, so
+ground truth is free.
+
+TPU-native by construction: the renderer is pure jnp, jit/vmap-friendly, so
+training batches (equirect panoramas or gnomonic perspective crops — the
+same window math stage A uses) are rendered **on device**, straight into the
+train step, with no host decode and no file IO.  A small CLI also writes
+file-based scenes (rgb/ + gt/ in the matterport naming convention,
+``Main.cpp:517-528``) for held-out evaluation through the reference-shaped
+batch driver.
+
+Depth encoding follows the Matterport u16 convention the whole pipeline
+speaks: 0~1 value = meters * 4000 / 65535 (reference ``Depth.cpp:2001-2002``).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import geometry
+
+MAX_SPHERES = 6
+MAX_BOXES = 8
+N_OBJ = 1 + MAX_SPHERES + MAX_BOXES  # object 0 is the room shell
+
+METERS_TO_01 = 4000.0 / 65535.0
+
+
+class Scene(NamedTuple):
+    """One scene's parameters (all f32; batch by stacking a leading axis)."""
+
+    room_lo: np.ndarray      # (3,) room min corner (camera at the origin)
+    room_hi: np.ndarray      # (3,)
+    sph_c: np.ndarray        # (MAX_SPHERES, 3)
+    sph_r: np.ndarray        # (MAX_SPHERES,)
+    sph_on: np.ndarray       # (MAX_SPHERES,) 1.0/0.0
+    box_lo: np.ndarray       # (MAX_BOXES, 3)
+    box_hi: np.ndarray       # (MAX_BOXES, 3)
+    box_on: np.ndarray       # (MAX_BOXES,)
+    wall_color: np.ndarray   # (6, 3) per-face room albedo
+    obj_c1: np.ndarray       # (N_OBJ, 3) texture colors
+    obj_c2: np.ndarray       # (N_OBJ, 3)
+    tex_kind: np.ndarray     # (N_OBJ,) int32: 0 solid, 1 checker, 2 stripes, 3 marble
+    tex_scale: np.ndarray    # (N_OBJ,)
+    ambient: np.ndarray      # () base light level
+
+
+def sample_scene(rng: np.random.RandomState) -> Scene:
+    """Draw a random indoor-style scene.
+
+    Rooms are 3~9 m across with the camera 1.0~1.8 m above the floor;
+    furniture keeps >= 0.45 m clearance from the camera so depth is bounded
+    away from zero (gt validity threshold 1e-4 ~ 0.16 m).
+    """
+    f32 = np.float32
+    room_lo = np.array([-rng.uniform(1.5, 4.5), -rng.uniform(1.5, 4.5),
+                        -rng.uniform(1.0, 1.8)], f32)
+    room_hi = np.array([rng.uniform(1.5, 4.5), rng.uniform(1.5, 4.5),
+                        rng.uniform(0.8, 2.2)], f32)
+
+    def place(margin):
+        # a point inside the room, away from the camera
+        for _ in range(64):
+            p = np.array([rng.uniform(room_lo[i] + margin,
+                                      room_hi[i] - margin)
+                          for i in range(3)], f32)
+            if np.linalg.norm(p) > margin + 0.45:
+                return p
+        return np.array([room_hi[0] - margin - 0.1, 0.0, 0.0], f32)
+
+    n_sph = rng.randint(1, MAX_SPHERES + 1)
+    sph_c = np.zeros((MAX_SPHERES, 3), f32)
+    sph_r = np.full(MAX_SPHERES, 0.1, f32)
+    sph_on = np.zeros(MAX_SPHERES, f32)
+    for i in range(n_sph):
+        r = rng.uniform(0.15, 0.7)
+        sph_c[i] = place(r)
+        sph_r[i] = r
+        sph_on[i] = 1.0
+
+    n_box = rng.randint(2, MAX_BOXES + 1)
+    box_lo = np.zeros((MAX_BOXES, 3), f32)
+    box_hi = np.ones((MAX_BOXES, 3), f32) * 0.1
+    box_on = np.zeros(MAX_BOXES, f32)
+    for i in range(n_box):
+        half = rng.uniform(0.15, 0.9, 3).astype(f32)
+        c = place(float(np.max(half)))
+        box_lo[i] = c - half
+        box_hi[i] = c + half
+        box_on[i] = 1.0
+
+    def color():
+        return rng.uniform(0.15, 0.95, 3).astype(f32)
+
+    wall_color = np.stack([color() for _ in range(6)])
+    obj_c1 = np.stack([color() for _ in range(N_OBJ)])
+    obj_c2 = np.stack([color() for _ in range(N_OBJ)])
+    tex_kind = rng.randint(0, 4, N_OBJ).astype(np.int32)
+    tex_scale = rng.uniform(0.8, 5.0, N_OBJ).astype(f32)
+    return Scene(room_lo, room_hi, sph_c, sph_r, sph_on, box_lo, box_hi,
+                 box_on, wall_color, obj_c1, obj_c2, tex_kind, tex_scale,
+                 np.float32(rng.uniform(0.25, 0.45)))
+
+
+def stack_scenes(scenes: List[Scene]) -> Scene:
+    """Batch a list of scenes into one leading axis (for vmap)."""
+    return Scene(*(np.stack([getattr(s, f) for s in scenes])
+                   for f in Scene._fields))
+
+
+def _render_dirs(scene: Scene, d):
+    """Trace unit-ray directions ``d`` (..., 3) from the origin.
+
+    Returns (rgb (..., 3) in 0~1, depth in the 0~1 Matterport encoding).
+    Everything is dense masked math over the fixed-size object table —
+    jit/vmap-friendly, no data-dependent control flow.
+    """
+    eps = 1e-6
+    big = jnp.float32(1e9)
+    dx = d[..., 0]
+
+    # --- room shell: camera is inside, take the exit distance per axis
+    # (sign-preserving clamp: a tiny negative component must stay negative
+    # or the plane selection below flips at the poles)
+    safe_d = jnp.where(jnp.abs(d) < 1e-9,
+                       jnp.where(d >= 0, 1e-9, -1e-9), d)
+    t_ax = jnp.where(d >= 0, scene.room_hi / safe_d, scene.room_lo / safe_d)
+    t_room = jnp.min(t_ax, axis=-1)
+    face_ax = jnp.argmin(t_ax, axis=-1)
+    d_face = jnp.take_along_axis(d, face_ax[..., None], axis=-1)[..., 0]
+    face_id = face_ax * 2 + (d_face >= 0).astype(jnp.int32)
+
+    # --- spheres: nearest positive quadratic root
+    oc = -scene.sph_c                                   # (S, 3), o = 0
+    b = jnp.einsum("...k,sk->...s", d, oc)              # oc . d
+    c2 = jnp.sum(oc * oc, -1) - scene.sph_r ** 2        # (S,)
+    disc = b * b - c2
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t0 = -b - sq
+    t1 = -b + sq
+    t_sph = jnp.where(t0 > eps, t0, t1)
+    t_sph = jnp.where((disc > 0) & (t_sph > eps) & (scene.sph_on > 0),
+                      t_sph, big)                        # (..., S)
+
+    # --- boxes: slab test from the origin
+    t_a = scene.box_lo / safe_d[..., None, :]            # (..., B, 3)
+    t_b = scene.box_hi / safe_d[..., None, :]
+    t_near = jnp.max(jnp.minimum(t_a, t_b), axis=-1)     # (..., B)
+    t_far = jnp.min(jnp.maximum(t_a, t_b), axis=-1)
+    hit = (t_near > eps) & (t_near <= t_far) & (scene.box_on > 0)
+    t_box = jnp.where(hit, t_near, big)
+
+    # --- nearest object
+    t_all = jnp.concatenate(
+        [t_room[..., None], t_sph, t_box], axis=-1)      # (..., N_OBJ)
+    obj = jnp.argmin(t_all, axis=-1)                     # (...,)
+    t = jnp.min(t_all, axis=-1)
+    p = d * t[..., None]                                 # hit point
+
+    kind = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                            jnp.ones(MAX_SPHERES, jnp.int32),
+                            jnp.full(MAX_BOXES, 2, jnp.int32)])[obj]
+
+    # --- normals (inward-facing; all three types computed then selected)
+    n_room = -jax.nn.one_hot(face_ax, 3) * jnp.sign(safe_d)
+    cen = jnp.concatenate([
+        jnp.zeros((1, 3), jnp.float32), scene.sph_c,
+        (scene.box_lo + scene.box_hi) * 0.5], axis=0)    # (N_OBJ, 3)
+    half = jnp.concatenate([
+        jnp.ones((1, 3), jnp.float32),
+        jnp.broadcast_to(scene.sph_r[:, None], (MAX_SPHERES, 3)),
+        jnp.maximum((scene.box_hi - scene.box_lo) * 0.5, 1e-4)], axis=0)
+    rel = p - cen[obj]
+    n_sphv = rel / jnp.maximum(
+        jnp.linalg.norm(rel, axis=-1, keepdims=True), 1e-9)
+    q = rel / half[obj]
+    box_ax = jnp.argmax(jnp.abs(q), axis=-1)
+    n_boxv = jax.nn.one_hot(box_ax, 3) * jnp.sign(
+        jnp.take_along_axis(q, box_ax[..., None], axis=-1))
+    n = jnp.where((kind == 0)[..., None], n_room,
+                  jnp.where((kind == 1)[..., None], n_sphv, n_boxv))
+
+    # --- procedural albedo
+    s = scene.tex_scale[obj][..., None]
+    ps = p * s
+    checker = (jnp.floor(ps[..., 0]) + jnp.floor(ps[..., 1])
+               + jnp.floor(ps[..., 2])) % 2.0
+    stripes = 0.5 + 0.5 * jnp.sin(
+        ps[..., 0] * 2.3 + ps[..., 1] * 1.7 + ps[..., 2] * 0.9)
+    marble = 0.5 + 0.5 * jnp.sin(
+        ps[..., 0] * 3.1 + 2.0 * jnp.sin(ps[..., 1] * 2.2)
+        + 1.3 * jnp.sin(ps[..., 2] * 2.7))
+    tk = scene.tex_kind[obj]
+    m = jnp.where(tk == 0, 0.0,
+                  jnp.where(tk == 1, checker,
+                            jnp.where(tk == 2, stripes, marble)))[..., None]
+    c1 = scene.obj_c1[obj]
+    c2 = scene.obj_c2[obj]
+    # room faces get their own wall palette (texture modulates brightness)
+    wall = scene.wall_color[face_id]
+    c1 = jnp.where((kind == 0)[..., None], wall, c1)
+    c2 = jnp.where((kind == 0)[..., None], wall * 0.55, c2)
+    albedo = c1 * (1.0 - m) + c2 * m
+
+    # --- headlight Lambertian shading with distance falloff
+    lam = jnp.abs(jnp.sum(n * d, axis=-1))
+    atten = 1.0 / (1.0 + (t / 7.0) ** 2)
+    shade = scene.ambient + (1.0 - scene.ambient) * lam * atten
+    rgb = jnp.clip(albedo * shade[..., None], 0.0, 1.0)
+    depth01 = jnp.clip(t * METERS_TO_01, 0.0, 1.0)
+    return rgb, depth01
+
+
+def render_pano(scene: Scene, width: int, height: int = None):
+    """Equirect render at (height, width); pixel grid matches the pipeline's
+    x/(W-1) * 2pi convention.  Returns (rgb, depth01)."""
+    height = height or width // 2
+    azi = jnp.arange(width, dtype=jnp.float32) / (width - 1) * (2 * np.pi)
+    zen = jnp.arange(height, dtype=jnp.float32) / (height - 1) * np.pi
+    ag, zg = jnp.meshgrid(azi, zen)
+    d = geometry.spherical_to_world(ag, zg, xp=jnp)
+    return _render_dirs(scene, d)
+
+
+def render_view(scene: Scene, fov, height: int, width: int):
+    """Perspective render through a gnomonic window (stage-A ray geometry:
+    pixel centers (i+0.5)/n, reference Main.cpp:242-294 viewing model)."""
+    win = geometry.make_window(fov[0], fov[1], fov[2], fov[3], xp=jnp)
+    xs = (jnp.arange(width, dtype=jnp.float32) + 0.5) / width
+    ys = (jnp.arange(height, dtype=jnp.float32) + 0.5) / height
+    xg, yg = jnp.meshgrid(xs, ys)
+    pos = (win.corner0 + win.hedge * xg[..., None]
+           + win.vedge * yg[..., None])
+    d = pos / jnp.linalg.norm(pos, axis=-1, keepdims=True)
+    return _render_dirs(scene, d)
+
+
+def sample_view_fov(rng: np.random.RandomState) -> np.ndarray:
+    """Random viewing window in the production layouts' FOV regime
+    (azimuth spans ~60-100 deg, zenith centers inside the valid band)."""
+    fovx = rng.uniform(math.radians(60), math.radians(100))
+    fovy = rng.uniform(math.radians(60), math.radians(100))
+    azi_c = rng.uniform(0, 2 * math.pi)
+    zen_c = rng.uniform(math.radians(45), math.radians(135))
+    return np.array([azi_c - fovx / 2, azi_c + fovx / 2,
+                     zen_c - fovy / 2, zen_c + fovy / 2], np.float32)
+
+
+def synth_batches(batch_size: int, kind: str = "perspective",
+                  view_size: int = 256, pano_width: int = 512,
+                  seed: int = 0, sharding=None):
+    """Infinite generator of on-device-rendered training batches.
+
+    Yields (rgb, depth, valid) exactly like :mod:`panodepth.models.data`
+    batches, but the arrays are rendered on the accelerator by the jitted
+    scene renderer — no files, no host decode, unlimited data.  Scene and
+    window parameters are drawn on the host (tiny arrays).
+    """
+    rng = np.random.RandomState(seed)
+    kw = dict(out_shardings=sharding) if sharding is not None else {}
+
+    if kind == "perspective":
+        @jax.jit
+        def render(scenes, fovs):
+            rgb, dep = jax.vmap(
+                lambda s, f: render_view(s, f, view_size, view_size)
+            )(scenes, fovs)
+            return rgb, dep, jnp.ones_like(dep, bool)
+
+        render = jax.jit(render, **kw) if kw else render
+        while True:
+            scenes = stack_scenes([sample_scene(rng)
+                                   for _ in range(batch_size)])
+            fovs = np.stack([sample_view_fov(rng)
+                             for _ in range(batch_size)])
+            yield render(jax.tree.map(jnp.asarray, scenes),
+                         jnp.asarray(fovs))
+    else:
+        h, w = pano_width // 2, pano_width
+
+        def render(scenes):
+            rgb, dep = jax.vmap(lambda s: render_pano(s, w, h))(scenes)
+            return rgb, dep, jnp.ones_like(dep, bool)
+
+        render = jax.jit(render, **kw)
+        while True:
+            scenes = stack_scenes([sample_scene(rng)
+                                   for _ in range(batch_size)])
+            yield render(jax.tree.map(jnp.asarray, scenes))
+
+
+def write_dataset(outdir: str, count: int, width: int = 2048,
+                  seed: int = 0, start: int = 0, log=print) -> None:
+    """Write ``count`` scenes as rgb/synth_NNNN.jpg + gt/synth_NNNN.png
+    (matterport naming, consumable by the batch driver and train_cli)."""
+    import os
+
+    from . import io as pio
+
+    rng = np.random.RandomState(seed)
+    os.makedirs(os.path.join(outdir, "rgb"), exist_ok=True)
+    os.makedirs(os.path.join(outdir, "gt"), exist_ok=True)
+    render = jax.jit(lambda s: render_pano(s, width))
+    for i in range(count):
+        scene = sample_scene(rng)
+        rgb, dep = render(jax.tree.map(jnp.asarray, scene))
+        rgb = np.asarray(jax.device_get(rgb))
+        dep = np.asarray(jax.device_get(dep))
+        name = f"synth_{start + i:04d}"
+        pio.save_jpg(os.path.join(outdir, "rgb", name + ".jpg"), rgb,
+                     quality=95)
+        pio.save_png16(os.path.join(outdir, "gt", name + ".png"),
+                       (np.clip(dep, 0, 1) * 65535.0 + 0.5).astype(np.uint16))
+        if (i + 1) % 10 == 0:
+            log(f"[synth] {i + 1}/{count}")
+
+
+def main(argv=None) -> int:
+    import argparse
+
+    p = argparse.ArgumentParser(
+        prog="panodepth-synth",
+        description="write procedural scenes as rgb/ + gt/ folders")
+    p.add_argument("count", type=int)
+    p.add_argument("outdir")
+    p.add_argument("--width", type=int, default=2048)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--start", type=int, default=0,
+                   help="first scene index (for disjoint train/eval sets)")
+    p.add_argument("--platform", default="auto",
+                   choices=["auto", "cpu", "tpu"])
+    args = p.parse_args(argv)
+    if args.platform != "auto":
+        jax.config.update("jax_platforms", args.platform)
+    write_dataset(args.outdir, args.count, width=args.width, seed=args.seed,
+                  start=args.start)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

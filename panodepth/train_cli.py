@@ -33,6 +33,11 @@ def build_parser():
                    choices=["auto", "cpu", "tpu"])
     p.add_argument("--width-scale", type=float, default=1.0,
                    help="scale model widths (quick experiments)")
+    p.add_argument("--synth", action="store_true",
+                   help="train on procedurally generated scenes rendered "
+                        "on-device (rgb/gt folders are ignored; see "
+                        "panodepth.synth)")
+    p.add_argument("--seed", type=int, default=0)
     return p
 
 
@@ -52,19 +57,37 @@ def main(argv=None) -> int:
     from .models.perspective import PerspectiveDepthNet
     from .parallel.mesh import make_mesh
 
-    pairs = pdata.discover_pairs(args.rgb_folder, args.gt_folder,
-                                 args.dataset)
-    if not pairs:
-        raise SystemExit("no (rgb, gt) pairs found")
-    print(f"[train] {len(pairs)} pairs, {len(jax.devices())} device(s)")
+    if args.synth:
+        pairs = None
+        print(f"[train] on-device synthetic scenes, "
+              f"{len(jax.devices())} device(s)")
+    else:
+        pairs = pdata.discover_pairs(args.rgb_folder, args.gt_folder,
+                                     args.dataset)
+        if not pairs:
+            raise SystemExit("no (rgb, gt) pairs found")
+        print(f"[train] {len(pairs)} pairs, {len(jax.devices())} device(s)")
+
+    def make_batches(kind):
+        if args.synth:
+            from . import synth
+
+            return synth.synth_batches(
+                args.batch_size, kind=kind, view_size=args.view_size,
+                pano_width=args.pano_width, seed=args.seed)
+        if kind == "perspective":
+            return pdata.perspective_batches(pairs, args.batch_size,
+                                             view_size=args.view_size,
+                                             seed=args.seed)
+        return pdata.pano_batches(pairs, args.batch_size,
+                                  width=args.pano_width, seed=args.seed)
 
     s = args.width_scale
     if args.model == "perspective":
         model = PerspectiveDepthNet(
             widths=tuple(max(8, int(w * s)) for w in (64, 128, 256, 512)),
             decoder_width=max(16, int(128 * s)))
-        batches = pdata.perspective_batches(pairs, args.batch_size,
-                                            view_size=args.view_size)
+        batches = make_batches("perspective")
         sample = jnp.zeros((1, args.view_size, args.view_size, 3))
     elif args.model == "hohonet":
         from .models.hohonet import HorizonDepthNet
@@ -72,14 +95,12 @@ def main(argv=None) -> int:
         model = HorizonDepthNet(
             widths=tuple(max(8, int(w * s)) for w in (32, 64, 128, 256)),
             horizon_dim=max(32, int(256 * s)))
-        batches = pdata.pano_batches(pairs, args.batch_size,
-                                     width=args.pano_width)
+        batches = make_batches("pano")
         sample = jnp.zeros((1, args.pano_width // 2, args.pano_width, 3))
     else:
         model = PanoBaselineNet(
             widths=tuple(max(8, int(w * s)) for w in (32, 64, 128, 256)))
-        batches = pdata.pano_batches(pairs, args.batch_size,
-                                     width=args.pano_width)
+        batches = make_batches("pano")
         sample = jnp.zeros((1, args.pano_width // 2, args.pano_width, 3))
 
     tx = ptrain.make_optimizer(lr=args.lr)
