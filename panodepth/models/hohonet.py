@@ -82,7 +82,7 @@ class HorizonDepthNet(nn.Module):
             s = min(4, x.shape[1])
             x = nn.Conv(self.horizon_dim, (s, 1), (s, 1), use_bias=False,
                         dtype=self.dtype)(x)
-            x = nn.GroupNorm(num_groups=_groups(self.horizon_dim))(x)
+            x = nn.GroupNorm(num_groups=_groups(self.horizon_dim), dtype=jnp.float32)(x)
             x = nn.relu(x)
         seq = x[:, 0]  # (B, W/16, C)
 
@@ -98,7 +98,7 @@ class HorizonDepthNet(nn.Module):
             bb, hh, ww, cc = y.shape
             y = jax.image.resize(y, (bb, hh * 2, ww * 2, cc), "nearest")
             y = nn.Conv(width, (3, 3), use_bias=False, dtype=self.dtype)(y)
-            y = nn.GroupNorm(num_groups=_groups(width))(y)
+            y = nn.GroupNorm(num_groups=_groups(width), dtype=jnp.float32)(y)
             y = nn.relu(y)
         y = nn.Conv(1, (1, 1), dtype=jnp.float32)(y)
         return nn.sigmoid(y[..., 0])

@@ -51,7 +51,7 @@ class UniFuseBlock(nn.Module):
     def __call__(self, equi_feat, cube_feat_equi):
         z = jnp.concatenate([equi_feat, cube_feat_equi], axis=-1)
         z = nn.Conv(self.features, (3, 3), use_bias=False, dtype=self.dtype)(z)
-        z = nn.GroupNorm(num_groups=_groups(self.features))(z)
+        z = nn.GroupNorm(num_groups=_groups(self.features), dtype=jnp.float32)(z)
         z = nn.relu(z)
         z = SEGate(self.features, dtype=self.dtype)(z)
         return equi_feat + z
@@ -92,7 +92,7 @@ class PanoBaselineNet(nn.Module):
             y = jax.image.resize(y, (bb, hh * 2, ww * 2, cc), "nearest")
             y = nn.Conv(skip.shape[-1], (3, 3), use_bias=False,
                         dtype=self.dtype)(y)
-            y = nn.GroupNorm(num_groups=_groups(skip.shape[-1]))(y)
+            y = nn.GroupNorm(num_groups=_groups(skip.shape[-1]), dtype=jnp.float32)(y)
             y = nn.relu(y)
             y = y + skip
         bb, hh, ww, cc = y.shape

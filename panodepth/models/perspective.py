@@ -38,14 +38,14 @@ class ResBlock(nn.Module):
     def __call__(self, x):
         y = nn.Conv(self.features, (3, 3), (self.stride, self.stride),
                     use_bias=False, dtype=self.dtype)(x)
-        y = nn.GroupNorm(num_groups=_groups(self.features))(y)
+        y = nn.GroupNorm(num_groups=_groups(self.features), dtype=jnp.float32)(y)
         y = nn.relu(y)
         y = nn.Conv(self.features, (3, 3), use_bias=False, dtype=self.dtype)(y)
-        y = nn.GroupNorm(num_groups=_groups(self.features))(y)
+        y = nn.GroupNorm(num_groups=_groups(self.features), dtype=jnp.float32)(y)
         if x.shape[-1] != self.features or self.stride != 1:
             x = nn.Conv(self.features, (1, 1), (self.stride, self.stride),
                         use_bias=False, dtype=self.dtype)(x)
-            x = nn.GroupNorm(num_groups=_groups(self.features))(x)
+            x = nn.GroupNorm(num_groups=_groups(self.features), dtype=jnp.float32)(x)
         return nn.relu(y + x)
 
 
@@ -83,7 +83,7 @@ class PerspectiveDepthNet(nn.Module):
         x = x.astype(self.dtype)
         x = nn.Conv(self.widths[0] // 2, (7, 7), (2, 2), use_bias=False,
                     dtype=self.dtype)(x)
-        x = nn.GroupNorm(num_groups=_groups(x.shape[-1]))(x)
+        x = nn.GroupNorm(num_groups=_groups(x.shape[-1]), dtype=jnp.float32)(x)
         x = nn.relu(x)
 
         skips = []
@@ -106,8 +106,17 @@ class PerspectiveDepthNet(nn.Module):
         y = jax.image.resize(y, (b, h * 2, w * 2, c), "bilinear")
         y = nn.Conv(32, (3, 3), dtype=self.dtype)(y)
         y = nn.relu(y)
-        y = nn.Conv(1, (1, 1), dtype=jnp.float32)(y)
-        return nn.relu(y[..., 0])
+        # output head: softplus (a dead output relu would zero every
+        # gradient permanently), with the bias initialized so the initial
+        # prediction sits at the depth targets' scale (~0.15 in the 0~1
+        # Matterport encoding).  softplus(0) = 0.69 is ~5x the target mean,
+        # and that large consistent error makes AdamW multiplicatively
+        # shrink every layer until the pre-activation saturates (~-37,
+        # where softplus' underflows to exactly 0 in f32 and training
+        # freezes) — observed on the v5e before this init.
+        y = nn.Conv(1, (1, 1), dtype=jnp.float32,
+                    bias_init=nn.initializers.constant(-1.8))(y)
+        return nn.softplus(y[..., 0])
 
 
 def predict_depth01(params, model: PerspectiveDepthNet, rgb):

@@ -65,7 +65,20 @@ class TrainState:
     step: jnp.ndarray
 
 
-def make_optimizer(lr: float = 1e-4, weight_decay: float = 1e-5):
+def make_optimizer(lr: float = 1e-4, weight_decay: float = 1e-5,
+                   steps: Optional[int] = None, warmup: int = 200):
+    """AdamW with global-norm clipping.
+
+    With ``steps``, uses linear warmup (``warmup`` steps) into cosine decay
+    — the warmup keeps early AdamW updates from violently rescaling the
+    network while the output head finds the target's scale (see
+    perspective.py head comment).  The opt-state pytree shape is identical
+    either way, so checkpoints restore across the two variants.
+    """
+    if steps is not None:
+        lr = optax.warmup_cosine_decay_schedule(
+            0.0, lr, warmup_steps=min(warmup, max(steps // 10, 1)),
+            decay_steps=steps, end_value=lr * 0.05)
     return optax.chain(
         optax.clip_by_global_norm(1.0),
         optax.adamw(lr, weight_decay=weight_decay),

@@ -103,7 +103,7 @@ def main(argv=None) -> int:
         batches = make_batches("pano")
         sample = jnp.zeros((1, args.pano_width // 2, args.pano_width, 3))
 
-    tx = ptrain.make_optimizer(lr=args.lr)
+    tx = ptrain.make_optimizer(lr=args.lr, steps=args.steps)
     state = ptrain.init_state(model, jax.random.PRNGKey(0), sample, tx)
     mesh = make_mesh((len(jax.devices()), 1))
     step_fn = ptrain.shard_train_step(ptrain.make_train_step(model, tx),
