@@ -1,14 +1,25 @@
 """Benchmark: fused 2048x1024 panorama depth throughput on the local chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints one JSON line per metric, the PRIMARY first:
+  {"metric", "value", "unit", "vs_baseline"}
 
-The measured graph is the full per-panorama device pipeline the reference
-times as time_Reg + time_Laplacian (reference Main.cpp:667-681): 15-view
-cubic registration + 3-level multiresolution Laplacian fusion (200/100/50
-Jacobi iterations) to a 2048x1024 u16 panorama, with realistic 1024x988
-perspective maps.  ``vs_baseline`` is measured throughput over the
-north-star target of 30 panoramas/sec (BASELINE.json; the reference repo
-publishes no numbers of its own — see BASELINE.md).
+1. (primary) file-path merge throughput at 2048x1024: 15-view cubic
+   registration + 3-level multiresolution Laplacian fusion (200/100/50
+   Jacobi iterations) to a u16 panorama, with realistic 1024x988
+   perspective maps — the graph the reference times as time_Reg +
+   time_Laplacian (reference Main.cpp:667-681).
+2. the same at 4096x2048 (4-level pyramid).
+3. the fully on-device e2e model mode (RGB -> PanoBaselineNet +
+   PerspectiveDepthNet -> registration -> fusion), if the committed model
+   zoo (zoo/) is present.
+
+Each metric is the MEDIAN of TRIALS pipelined measurements (each trial
+enqueues REPS batches and fences once — per-batch host syncs would measure
+the ~30 ms tunnel roundtrip, which a production stream never pays);
+``spread`` is (max-min)/median across trials.  ``vs_baseline`` is measured
+throughput over the north-star target of 30 panoramas/sec @2048 on v5e-8
+(BASELINE.json; the reference repo publishes no numbers of its own — see
+BASELINE.md).
 """
 
 from __future__ import annotations
@@ -25,22 +36,55 @@ import jax.numpy as jnp
 import numpy as np
 
 BATCH = int(os.environ.get("BENCH_BATCH", "8"))
-OUT_WIDTH = int(os.environ.get("BENCH_OUT_WIDTH", "2048"))
 REPS = int(os.environ.get("BENCH_REPS", "5"))
-NORTH_STAR = 30.0  # panoramas/sec on v5e-8 (BASELINE.json)
+TRIALS = int(os.environ.get("BENCH_TRIALS", "5"))
+NORTH_STAR = 30.0  # panoramas/sec @2048 on v5e-8 (BASELINE.json)
+ZOO = os.path.join(os.path.dirname(os.path.abspath(__file__)), "zoo")
 
 
-def main() -> None:
+def sync(out):
+    # NOTE: on tunneled backends (axon) block_until_ready returns before
+    # remote execution finishes; a host readback is the only true sync.
+    # Device execution is in-order, so one readback of the LAST output
+    # fences everything enqueued before it.
+    return float(jnp.sum(out.astype(jnp.float32)))
+
+
+def timed_trials(run_reps):
+    """run_reps() enqueues REPS iterations and fences; returns per-item
+    seconds.  Median +- spread across TRIALS."""
+    vals = []
+    for _ in range(TRIALS):
+        vals.append(run_reps())
+    med = float(np.median(vals))
+    spread = (max(vals) - min(vals)) / med if med else 0.0
+    return med, spread
+
+
+def emit(metric, panos_per_sec, spread, extra=None):
+    rec = {
+        "metric": metric,
+        "value": round(panos_per_sec, 3),
+        "unit": "panoramas/sec",
+        "vs_baseline": round(panos_per_sec / NORTH_STAR, 3),
+        "spread": round(spread, 4),
+    }
+    if extra:
+        rec.update(extra)
+    print(json.dumps(rec), flush=True)
+
+
+def bench_merge(out_width: int, batch: int) -> None:
     from panodepth.config import MergeConfig
     from panodepth.pipeline import merge_arrays
 
-    cfg = MergeConfig(out_width=OUT_WIDTH)
+    cfg = MergeConfig(out_width=out_width)
     rng = np.random.RandomState(0)
     v = cfg.layout.num_views
     emaps = jnp.asarray(
-        rng.uniform(0.05, 0.9, (BATCH, 512, 1024)).astype(np.float32))
+        rng.uniform(0.05, 0.9, (batch, 512, 1024)).astype(np.float32))
     pmaps = jnp.asarray(
-        rng.uniform(0.05, 0.9, (BATCH, v, 988, 1024)).astype(np.float32))
+        rng.uniform(0.05, 0.9, (batch, v, 988, 1024)).astype(np.float32))
 
     jacobi_fn = None
     if jax.default_backend() == "tpu":
@@ -48,31 +92,67 @@ def main() -> None:
 
         jacobi_fn = pallas_jacobi
     fn = jax.jit(jax.vmap(lambda e, p: merge_arrays(e, p, cfg, jacobi_fn)))
-
-    def sync(out):
-        # NOTE: on tunneled backends (axon) block_until_ready returns before
-        # remote execution finishes; a host readback is the only true sync.
-        # Device execution is in-order, so one readback of the LAST output
-        # fences everything enqueued before it.
-        return float(jnp.sum(out.astype(jnp.float32)))
-
     sync(fn(emaps, pmaps)[0])  # compile + warm up
-    # pipelined throughput: enqueue all batches, fence once at the end
-    # (per-batch host syncs would measure the ~30 ms tunnel roundtrip, which
-    # a production stream never pays per item)
-    t0 = time.perf_counter()
-    out = None
-    for _ in range(REPS):
-        out, _ = fn(emaps, pmaps)
-    sync(out)
-    per_batch = (time.perf_counter() - t0) / REPS
-    panos_per_sec = BATCH / per_batch
-    print(json.dumps({
-        "metric": f"panoramas_per_sec_{OUT_WIDTH}x{OUT_WIDTH // 2}_fused",
-        "value": round(panos_per_sec, 3),
-        "unit": "panoramas/sec",
-        "vs_baseline": round(panos_per_sec / NORTH_STAR, 3),
-    }))
+
+    def run():
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(REPS):
+            out, _ = fn(emaps, pmaps)
+        sync(out)
+        return (time.perf_counter() - t0) / (REPS * batch)
+
+    per_item, spread = timed_trials(run)
+    emit(f"panoramas_per_sec_{out_width}x{out_width // 2}_fused",
+         1.0 / per_item, spread, {"batch": batch})
+
+
+def bench_e2e() -> None:
+    """On-device model mode: RGB -> models -> registration -> fusion."""
+    persp = os.path.join(ZOO, "perspective_final.params.npz")
+    base = os.path.join(ZOO, "panoramic_final.params.npz")
+    if not (os.path.exists(persp) and os.path.exists(base)):
+        return
+    from panodepth.config import MergeConfig
+    from panodepth.e2e import full_pipeline, load_model_checkpoint
+
+    cfg = MergeConfig(out_width=2048)
+    persp_model, persp_params, _ = load_model_checkpoint(persp)
+    base_model, base_params, base_arch = load_model_checkpoint(base)
+    bw = base_arch.get("pano_width", 512)
+
+    def one(rgb):
+        rb = jax.image.resize(rgb, (bw // 2, bw, 3), "bilinear")
+        baseline = base_model.apply(base_params, rb[None])[0]
+        out, _, _, _ = full_pipeline(rgb, persp_model, persp_params,
+                                     baseline=baseline, cfg=cfg,
+                                     view_width=512)
+        return out
+
+    fn = jax.jit(one)
+    rng = np.random.RandomState(1)
+    rgb = jnp.asarray(rng.rand(1024, 2048, 3).astype(np.float32))
+    sync(fn(rgb))
+
+    e2e_reps = max(2, REPS // 2)
+
+    def run():
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(e2e_reps):
+            out = fn(rgb)
+        sync(out)
+        return (time.perf_counter() - t0) / e2e_reps
+
+    per_item, spread = timed_trials(run)
+    emit("panoramas_per_sec_2048x1024_e2e_models", 1.0 / per_item, spread,
+         {"batch": 1})
+
+
+def main() -> None:
+    bench_merge(2048, BATCH)
+    bench_merge(4096, max(1, BATCH // 8))
+    bench_e2e()
 
 
 if __name__ == "__main__":

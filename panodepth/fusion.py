@@ -249,10 +249,12 @@ def level_target(pmaps, plan: FusionPlan, lvl_idx: int, abcd=None):
     cfg = plan.cfg
     lvl = plan.levels[lvl_idx]
     h, w = lvl.height, lvl.width
-    pmap_shape = tuple(pmaps.shape[-2:])
     tgt_sum = jnp.zeros((h, w), jnp.float32)
     for v, (x_lo, x_hi, y_lo, y_hi) in enumerate(lvl.bboxes):
-        idx = _view_gather_indices(cfg, lvl_idx, v, pmap_shape)
+        # pmaps may be a stacked (V, Hp, Wp) array or a list of per-view
+        # maps with heterogeneous shapes (the on-device e2e path)
+        idx = _view_gather_indices(cfg, lvl_idx, v,
+                                   tuple(pmaps[v].shape[-2:]))
         if idx is None:
             continue
         slab = jnp.take(pmaps[v].reshape(-1), jnp.asarray(idx))
@@ -306,9 +308,10 @@ def fuse(emap, pmaps, plan: FusionPlan, jacobi_fn=None, abcd=None):
     """Full multiresolution fusion.  Returns (u16 panorama, final f32 buffer).
 
     ``emap``  — baseline equirect depth (He, We[, C]), 0~1 floats.
-    ``pmaps`` — (V, Hp, Wp) perspective depths, 0~1 floats: already
-    registered, or raw with the per-view cubic ``abcd`` (V, 4) supplied (the
-    remap is then fused into the slab gathers).
+    ``pmaps`` — (V, Hp, Wp) perspective depths (or a list of V per-view
+    maps with heterogeneous shapes), 0~1 floats: already registered, or raw
+    with the per-view cubic ``abcd`` (V, 4) supplied (the remap is then
+    fused into the slab gathers).
     ``jacobi_fn`` — optional replacement relaxation kernel with the same
     signature as :func:`jacobi` (e.g. the Pallas fused-iteration kernel).
     """
@@ -342,8 +345,8 @@ def solve_depth_by_smoothing(pmaps, plan: FusionPlan, iterations: int = 500,
     h, w = lvl.height, lvl.width
     buf = jnp.zeros((h, w), jnp.float32)
     smooth = np.zeros((h, w), bool)
-    pmap_shape = tuple(pmaps.shape[-2:])
     for v, (x_lo, x_hi, y_lo_band, _) in enumerate(lvl.bboxes):
+        pmap_shape = tuple(pmaps[v].shape[-2:])
         # SolveDepthBySmoothing walks the UNCLAMPED y range (no zenith-band
         # clamp, Depth.cpp:1797-1813); recompute it from the raw ranges.
         rng = plan.cfg.clamped_ranges()[v]

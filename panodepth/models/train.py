@@ -143,3 +143,36 @@ def restore_checkpoint(path: str, template: TrainState) -> TrainState:
 
     with ocp.StandardCheckpointer() as ckptr:
         return ckptr.restore(path, template)
+
+
+def save_params_npz(path: str, params) -> None:
+    """Compact params-only export: one .npz of bf16 leaves (f32 on load).
+
+    Orbax checkpoints carry the full TrainState (params + two AdamW
+    moments, ~3x f32 params); this is the small inference artifact that
+    can be committed for the pretrained model zoo.
+    """
+    import numpy as np
+
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    arrays = {jax.tree_util.keystr(k): np.asarray(v, np.float32).astype(
+        jnp.bfloat16) for k, v in flat}
+    np.savez_compressed(path, **arrays)
+
+
+def load_params_npz(path: str, template_params):
+    """Load a save_params_npz export back into the template's pytree."""
+    import numpy as np
+
+    with np.load(path, allow_pickle=False) as z:
+        flat, treedef = jax.tree_util.tree_flatten_with_path(template_params)
+        leaves = []
+        for k, v in flat:
+            a = z[jax.tree_util.keystr(k)]
+            if tuple(a.shape) != tuple(v.shape):
+                raise ValueError(
+                    f"param {jax.tree_util.keystr(k)}: checkpoint shape "
+                    f"{a.shape} != model shape {v.shape}")
+            leaves.append(jnp.asarray(a, jnp.float32))
+    return jax.tree_util.tree_unflatten(
+        jax.tree_util.tree_structure(template_params), leaves)

@@ -32,12 +32,26 @@ from .config import MergeConfig, ZENITH_RANGE
 from .fusion import build_fusion_plan, fuse
 
 
+def _as01(x):
+    """Accept u16 device inputs: cast to f32 0~1 on device.
+
+    The streamed batch path transfers emaps/pmaps as uint16 (halving
+    host->device bytes over the tunnel) and normalizes here — the same
+    ``k/65535`` the host decoder would compute, so results are identical up
+    to XLA's division ulp.
+    """
+    if x.dtype == jnp.uint16:
+        return x.astype(jnp.float32) / 65535.0
+    return x
+
+
 def merge_arrays(emap, pmaps, cfg: MergeConfig, jacobi_fn=None):
     """Device core: baseline emap + V perspective depths -> fused u16 pano.
 
-    Returns (out_u16 (H, W), abcd (V, 4)).  Pure function of arrays; jit it
-    via :func:`compiled_merge`.
+    Returns (out_u16 (H, W), abcd (V, 4)).  Pure function of arrays (f32
+    0~1, or uint16 via :func:`_as01`); jit it via :func:`compiled_merge`.
     """
+    emap, pmaps = _as01(emap), _as01(pmaps)
     abcd = registration.register_views(emap, pmaps, cfg)
     plan = build_fusion_plan(cfg)
     # the cubic remap is fused into the slab gathers (abcd=) instead of
@@ -328,6 +342,7 @@ def compiled_merge_staged_batched(cfg: MergeConfig, jacobi_kind: str = "auto"):
 
     @jax.jit
     def reg_fn(emaps, pmaps):
+        emaps, pmaps = _as01(emaps), _as01(pmaps)
         abcd = jax.vmap(
             lambda e, p: registration.register_views(e, p, cfg))(emaps, pmaps)
         return abcd, jax.vmap(jax.vmap(registration.apply_cubic))(pmaps, abcd)
@@ -348,6 +363,7 @@ def merge_many(
     jacobi_kind: str = "auto",
     log=print,
     profile: bool = False,
+    stream_u16: str = "auto",
 ):
     """Streamed batched merge of many panoramas.
 
@@ -362,6 +378,14 @@ def merge_many(
     with a host sync between, so each item carries a real time_Reg /
     time_Laplacian split (at a small pipelining cost); otherwise the split
     is reported as unavailable (``time_reg_ms=None``).
+
+    ``stream_u16`` — "on"/"off"/"auto": transfer integer-source inputs to
+    the device as uint16 (half the host->device bytes) and normalize
+    on-device.  "auto" enables it only on TPU, where the tunnel transfer is
+    the bottleneck; the on-device ``k/65535`` can differ from the host's by
+    1 f32 ulp (XLA divides by reciprocal-multiply), which perturbs the u16
+    output by at most 1 (tests/test_pipeline.py guards the bound), so exact
+    batched==single equality holds only with "off".
     """
     results = [None] * len(items)
     loaded = []  # (index, emap, pmaps)
@@ -369,13 +393,26 @@ def merge_many(
         try:
             emap, views = _load_inputs(it["baseline"], it["pmaps"])
             pm = np.stack([v if v.ndim == 2 else v[..., 0] for v in views])
-            loaded.append((i, emap if emap.ndim == 2 else emap[..., 0], pm))
+            emap = emap if emap.ndim == 2 else emap[..., 0]
+            # integer-source inputs stream to the device as uint16 (half
+            # the host->device bytes); k/255 and k/65535 round-trip the
+            # u16 re-quantization exactly, so only float PFMs are excluded
+            files = [it["baseline"]] + list(it["pmaps"])
+            u16_ok = (stream_u16 == "on"
+                      or (stream_u16 == "auto"
+                          and jax.default_backend() == "tpu"))
+            if u16_ok and not any(
+                    f.lower().endswith(".pfm") for f in files):
+                emap = np.round(emap * 65535.0).astype(np.uint16)
+                pm = np.round(pm * 65535.0).astype(np.uint16)
+            loaded.append((i, emap, pm))
         except (FileNotFoundError, ValueError, OSError) as e:
             log(f"[merge_many] item {i} FAILED ({e}); quarantined")
 
     groups = {}
     for i, emap, pm in loaded:
-        groups.setdefault((emap.shape, pm.shape), []).append((i, emap, pm))
+        groups.setdefault((emap.shape, pm.shape, pm.dtype.str), []).append(
+            (i, emap, pm))
 
     if profile:
         reg_fn, fuse_fn = compiled_merge_staged_batched(cfg, jacobi_kind)
@@ -410,6 +447,8 @@ def merge_many(
         out_u16 = np.asarray(jax.device_get(out_u16))
         abcd = np.asarray(jax.device_get(abcd))
         ms = int((time.monotonic() - t0) * 1000 / len(chunk))
+        if emaps.dtype == np.uint16:  # undo the streaming quantization
+            emaps = emaps.astype(np.float32) / 65535.0
         for j, (i, _, _) in enumerate(chunk):
             it = items[i]
             pio.save_png16(it["out"], out_u16[j])
@@ -429,7 +468,7 @@ def merge_many(
     # double-buffered: submit batch k+1 before reading batch k back, so
     # host IO/metrics overlap device compute
     pending = None
-    for (eshape, pshape), group in groups.items():
+    for group in groups.values():
         for start in range(0, len(group), batch_size):
             nxt = submit(group, start)
             if pending is not None:

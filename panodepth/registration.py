@@ -137,7 +137,8 @@ def register_views(emap, pmaps, cfg: MergeConfig):
     """Fit abcd for every view against the baseline emap.
 
     ``emap``  — (He, We[, C]) baseline equirect depth, values 0~1.
-    ``pmaps`` — (V, Hp, Wp) stack of perspective depth maps, values 0~1.
+    ``pmaps`` — (V, Hp, Wp) stack of perspective depth maps, values 0~1,
+    or a list of V per-view maps with heterogeneous shapes.
     Returns (V, 4) coefficients.
 
     Mirrors the one-active-view-at-a-time loop of reference
@@ -152,15 +153,25 @@ def register_views(emap, pmaps, cfg: MergeConfig):
     g = build_sample_grids(cfg)
     emap2d = emap if emap.ndim == 2 else emap[..., 0]
     he, we = emap2d.shape
-    nv, hp, wp = pmaps.shape
 
-    pxi = np.clip((g.xy_x * (wp - 1)).astype(np.int32), 0, wp - 1)
-    pyi = np.clip((g.xy_y * (hp - 1)).astype(np.int32), 0, hp - 1)
     exi = np.clip((g.azimuth / TWO_PI * (we - 1)).astype(np.int32), 0, we - 1)
     eyi = np.clip((g.zenith / np.pi * (he - 1)).astype(np.int32), 0, he - 1)
 
-    vidx = np.arange(nv, dtype=np.int32)[:, None, None]
-    d0 = _clamp(pmaps[vidx, pyi, pxi])
+    if isinstance(pmaps, (list, tuple)):
+        # heterogeneous per-view shapes (on-device e2e path)
+        cols = []
+        for v, pm in enumerate(pmaps):
+            hp, wp = pm.shape[-2:]
+            pxi = np.clip((g.xy_x[v] * (wp - 1)).astype(np.int32), 0, wp - 1)
+            pyi = np.clip((g.xy_y[v] * (hp - 1)).astype(np.int32), 0, hp - 1)
+            cols.append(pm[pyi, pxi])
+        d0 = _clamp(jnp.stack(cols))
+    else:
+        nv, hp, wp = pmaps.shape
+        pxi = np.clip((g.xy_x * (wp - 1)).astype(np.int32), 0, wp - 1)
+        pyi = np.clip((g.xy_y * (hp - 1)).astype(np.int32), 0, hp - 1)
+        vidx = np.arange(nv, dtype=np.int32)[:, None, None]
+        d0 = _clamp(pmaps[vidx, pyi, pxi])
     d1 = _clamp(emap2d[eyi, exi])
     w = jnp.asarray(g.weight, jnp.float32)
     return jax.vmap(fit_cubic)(d0.astype(jnp.float32),

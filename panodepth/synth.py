@@ -268,6 +268,8 @@ def synth_batches(batch_size: int, kind: str = "perspective",
     scene renderer — no files, no host decode, unlimited data.  Scene and
     window parameters are drawn on the host (tiny arrays).
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     rng = np.random.RandomState(seed)
     kw = dict(out_shardings=sharding) if sharding is not None else {}
 
@@ -280,13 +282,13 @@ def synth_batches(batch_size: int, kind: str = "perspective",
             return rgb, dep, jnp.ones_like(dep, bool)
 
         render = jax.jit(render, **kw) if kw else render
-        while True:
+
+        def host_params():
             scenes = stack_scenes([sample_scene(rng)
                                    for _ in range(batch_size)])
             fovs = np.stack([sample_view_fov(rng)
                              for _ in range(batch_size)])
-            yield render(jax.tree.map(jnp.asarray, scenes),
-                         jnp.asarray(fovs))
+            return scenes, fovs
     else:
         h, w = pano_width // 2, pano_width
 
@@ -295,10 +297,20 @@ def synth_batches(batch_size: int, kind: str = "perspective",
             return rgb, dep, jnp.ones_like(dep, bool)
 
         render = jax.jit(render, **kw)
+
+        def host_params():
+            return (stack_scenes([sample_scene(rng)
+                                  for _ in range(batch_size)]),)
+
+    # host-side scene sampling (rejection loops over ~15 objects x batch)
+    # costs ~100 ms/batch — prefetch it one step ahead on a thread so the
+    # accelerator never waits on the host RNG
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        nxt = pool.submit(host_params)
         while True:
-            scenes = stack_scenes([sample_scene(rng)
-                                   for _ in range(batch_size)])
-            yield render(jax.tree.map(jnp.asarray, scenes))
+            params = nxt.result()
+            nxt = pool.submit(host_params)
+            yield render(*jax.tree.map(jnp.asarray, params))
 
 
 def write_dataset(outdir: str, count: int, width: int = 2048,

@@ -138,7 +138,9 @@ def main(argv=None) -> int:
         if step and step % args.ckpt_every == 0:
             ptrain.save_checkpoint(f"{ckpt_path}_{step}", state)
     ptrain.save_checkpoint(f"{ckpt_path}_final", state)
-    print(f"[train] done; checkpoint at {ckpt_path}_final")
+    ptrain.save_params_npz(f"{ckpt_path}_final.params.npz", state.params)
+    print(f"[train] done; checkpoint at {ckpt_path}_final "
+          f"(+ params-only {ckpt_path}_final.params.npz)")
     return 0
 
 

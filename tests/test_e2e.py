@@ -44,7 +44,7 @@ def test_full_pipeline_runs():
     assert out.dtype == jnp.uint16
     assert baseline.shape == (32, 64)
     assert np.isfinite(np.asarray(abcd)).all()
-    assert pmaps.shape[0] == tiny_cfg.layout.num_views
+    assert len(pmaps) == tiny_cfg.layout.num_views  # per-view list
 
 
 def test_full_pipeline_precomputed_baseline(tiny_scene):

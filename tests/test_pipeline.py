@@ -258,3 +258,24 @@ def test_extract_stage_a_batched(scene_files, tmp_path):
         np.testing.assert_allclose(got, want, atol=1.01 / 255)
     # second call: everything exists, nothing re-extracted
     assert pipeline.extract_stage_a(rgb_files, vdir, cfg, width=96) == 0
+
+
+def test_merge_many_u16_streaming_bound(scene_files):
+    """uint16-streamed inputs (half the host->device bytes) perturb the
+    fused u16 output by at most 1 vs the f32 path (the on-device k/65535
+    differs from numpy's by <=1 f32 ulp under XLA's reciprocal-multiply)."""
+    root = scene_files["root"]
+    cfg = scene_files["cfg"]
+    base = str(root / "baseline" / "pano_0001.jpg.png")
+    gt = str(root / "gt" / "pano_0001.png")
+    outs = {}
+    for mode in ("off", "on"):
+        out = str(root / f"u16_{mode}.png")
+        res = pipeline.merge_many(
+            [dict(baseline=base, pmaps=scene_files["pmap_files"], out=out,
+                  gt=gt)],
+            cfg, batch_size=1, log=lambda *a: None, stream_u16=mode)
+        assert res[0] is not None
+        outs[mode] = res[0].out_u16.astype(np.int64)
+    delta = np.abs(outs["on"] - outs["off"])
+    assert delta.max() <= 1, f"u16 streaming delta {delta.max()}"
