@@ -72,16 +72,19 @@ def make_optimizer(lr: float = 1e-4, weight_decay: float = 1e-5,
     With ``steps``, uses linear warmup (``warmup`` steps) into cosine decay
     — the warmup keeps early AdamW updates from violently rescaling the
     network while the output head finds the target's scale (see
-    perspective.py head comment).  The opt-state pytree shape is identical
-    either way, so checkpoints restore across the two variants.
+    perspective.py head comment).  The learning rate is ALWAYS passed as a
+    schedule (constant without ``steps``) so the opt-state pytree structure
+    is identical across variants and checkpoints restore either way.
     """
     if steps is not None:
-        lr = optax.warmup_cosine_decay_schedule(
+        schedule = optax.warmup_cosine_decay_schedule(
             0.0, lr, warmup_steps=min(warmup, max(steps // 10, 1)),
             decay_steps=steps, end_value=lr * 0.05)
+    else:
+        schedule = optax.constant_schedule(lr)
     return optax.chain(
         optax.clip_by_global_norm(1.0),
-        optax.adamw(lr, weight_decay=weight_decay),
+        optax.adamw(schedule, weight_decay=weight_decay),
     )
 
 
@@ -155,8 +158,11 @@ def save_params_npz(path: str, params) -> None:
     import numpy as np
 
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
-    arrays = {jax.tree_util.keystr(k): np.asarray(v, np.float32).astype(
-        jnp.bfloat16) for k, v in flat}
+    # numpy's npz format has no bfloat16: store the raw bit patterns as
+    # uint16 (load_params_npz views them back)
+    arrays = {jax.tree_util.keystr(k): np.asarray(
+        np.asarray(v, np.float32).astype(jnp.bfloat16)).view(np.uint16)
+        for k, v in flat}
     np.savez_compressed(path, **arrays)
 
 
@@ -169,6 +175,8 @@ def load_params_npz(path: str, template_params):
         leaves = []
         for k, v in flat:
             a = z[jax.tree_util.keystr(k)]
+            if a.dtype == np.uint16:  # stored bfloat16 bit patterns
+                a = a.view(jnp.bfloat16)
             if tuple(a.shape) != tuple(v.shape):
                 raise ValueError(
                     f"param {jax.tree_util.keystr(k)}: checkpoint shape "

@@ -125,3 +125,21 @@ def test_horizon_depth_net_trains():
     for _ in range(4):
         state, m = step(state, (rgb, depth, mask))
     assert float(m["loss"]) < float(m0["loss"])
+
+
+def test_params_npz_roundtrip(tmp_path):
+    """save_params_npz -> load_params_npz reproduces params to bf16."""
+    import numpy as np
+    from panodepth.models import train as ptrain
+    from panodepth.models.perspective import PerspectiveDepthNet
+
+    model = PerspectiveDepthNet(stage_sizes=(1, 1, 1, 1),
+                                widths=(8, 16, 16, 32), decoder_width=16)
+    params = model.init(jax.random.PRNGKey(3), jnp.zeros((1, 64, 64, 3)))
+    f = str(tmp_path / "p.params.npz")
+    ptrain.save_params_npz(f, params)
+    back = ptrain.load_params_npz(f, params)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(back)):
+        a32 = np.asarray(a, np.float32)
+        np.testing.assert_allclose(np.asarray(b), a32,
+                                   rtol=2 ** -8, atol=1e-9)
