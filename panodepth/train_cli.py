@@ -38,6 +38,10 @@ def build_parser():
                         "on-device (rgb/gt folders are ignored; see "
                         "panodepth.synth)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--init-from", default=None,
+                   help="initialize params from an existing checkpoint "
+                        "(orbax dir or .params.npz) — e.g. fine-tune at a "
+                        "larger --view-size; optimizer state starts fresh")
     return p
 
 
@@ -105,6 +109,19 @@ def main(argv=None) -> int:
 
     tx = ptrain.make_optimizer(lr=args.lr, steps=args.steps)
     state = ptrain.init_state(model, jax.random.PRNGKey(0), sample, tx)
+    if args.init_from:
+        if args.init_from.endswith(".npz"):
+            params = ptrain.load_params_npz(args.init_from, state.params)
+        else:
+            # restore params from a full TrainState checkpoint; the params
+            # must be shape-compatible (the families are fully
+            # convolutional, so --view-size/--pano-width may differ)
+            params = ptrain.restore_checkpoint(
+                os.path.abspath(args.init_from), state).params
+        state = ptrain.TrainState(params=params,
+                                  opt_state=state.opt_state,
+                                  step=state.step)
+        print(f"[train] params initialized from {args.init_from}")
     mesh = make_mesh((len(jax.devices()), 1))
     step_fn = ptrain.shard_train_step(ptrain.make_train_step(model, tx),
                                       mesh, "dp")
