@@ -114,39 +114,35 @@ def bench_e2e() -> None:
     if not (os.path.exists(persp) and os.path.exists(base)):
         return
     from panodepth.config import MergeConfig
-    from panodepth.e2e import full_pipeline, load_model_checkpoint
+    from panodepth.e2e import build_batched_e2e, load_model_checkpoint
 
     cfg = MergeConfig(out_width=2048)
     persp_model, persp_params, _ = load_model_checkpoint(persp)
     base_model, base_params, base_arch = load_model_checkpoint(base)
     bw = base_arch.get("pano_width", 512)
 
-    def one(rgb):
-        rb = jax.image.resize(rgb, (bw // 2, bw, 3), "bilinear")
-        baseline = base_model.apply(base_params, rb[None])[0]
-        out, _, _, _ = full_pipeline(rgb, persp_model, persp_params,
-                                     baseline=baseline, cfg=cfg,
-                                     view_width=512)
-        return out
-
-    fn = jax.jit(one)
     rng = np.random.RandomState(1)
-    rgb = jnp.asarray(rng.rand(1024, 2048, 3).astype(np.float32))
-    sync(fn(rgb))
-
     e2e_reps = max(2, REPS // 2)
+    for batch in (1, int(os.environ.get("BENCH_E2E_BATCH", "4"))):
+        fn, _, _ = build_batched_e2e(
+            persp_model, persp_params, cfg, view_width=512,
+            base_model=base_model, base_params=base_params, base_w=bw)
+        rgbs = jnp.asarray(
+            rng.rand(batch, 1024, 2048, 3).astype(np.float32))
+        sync(fn(rgbs)[0])
 
-    def run():
-        t0 = time.perf_counter()
-        out = None
-        for _ in range(e2e_reps):
-            out = fn(rgb)
-        sync(out)
-        return (time.perf_counter() - t0) / e2e_reps
+        def run():
+            t0 = time.perf_counter()
+            out = None
+            for _ in range(e2e_reps):
+                out, _ = fn(rgbs)
+            sync(out)
+            return (time.perf_counter() - t0) / (e2e_reps * batch)
 
-    per_item, spread = timed_trials(run)
-    emit("panoramas_per_sec_2048x1024_e2e_models", 1.0 / per_item, spread,
-         {"batch": 1})
+        per_item, spread = timed_trials(run)
+        name = "panoramas_per_sec_2048x1024_e2e_models"
+        emit(name if batch == 1 else name + "_batched", 1.0 / per_item,
+             spread, {"batch": batch})
 
 
 def main() -> None:

@@ -95,7 +95,7 @@ def main(argv=None) -> int:
                 args.persp_ckpt, cfg, baseline_ckpt=args.baseline_ckpt,
                 baseline_folder=args.baseline_folder, dataset=args.dataset,
                 view_width=args.view_width, limit=args.limit,
-                profile=args.profile,
+                profile=args.profile, batch_size=args.batch_size,
             )
         else:
             run_batch(

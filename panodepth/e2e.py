@@ -129,24 +129,104 @@ def load_model_checkpoint(ckpt_path: str):
     return model, state.params, arch
 
 
+def build_batched_e2e(persp_model, persp_params, cfg: MergeConfig,
+                      view_width: int = 512, base_model=None,
+                      base_params=None, base_w: int = 512):
+    """Batched device graphs for the on-device model mode.
+
+    Returns ``(jit_full, jit_models, jit_fuse)`` over (B, H, W, 3) RGB
+    stacks (plus a (B, h, w) baseline stack when ``base_model`` is None):
+
+    - ``jit_models(rgbs[, baselines]) -> (baselines, pmaps)`` — panoramic
+      baseline CNN + perspective view extraction + perspective depth CNN,
+      every view of every panorama in the batch through one CNN launch per
+      view-shape group.
+    - ``jit_fuse(baselines, pmaps) -> (out_u16, abcd)`` — vmapped
+      registration + multiresolution fusion.
+    - ``jit_full`` — both stages in a single graph (the fast path).
+
+    The reference runs this per panorama across two process boundaries
+    (GL views to disk, external CNN, merge; Main.cpp:438-516); here B
+    panoramas share one device graph and no pixels leave the device.
+    """
+    from .ops.projection import extract_view
+
+    layout = cfg.layout
+    plan = build_fusion_plan(cfg)
+    shapes = [view_shape(layout.fovs[i], view_width)
+              for i in range(layout.num_views)]
+    grouped = {}
+    for i, s in enumerate(shapes):
+        grouped.setdefault(s, []).append(i)
+    ngroups = list(grouped.items())
+
+    def models_stage(rgbs, baselines=None):
+        if baselines is None:
+            rb = jax.vmap(lambda r: jax.image.resize(
+                r, (base_w // 2, base_w, 3), "bilinear"))(rgbs)
+            baselines = base_model.apply(base_params, rb)
+        b = rgbs.shape[0]
+        pmaps = [None] * layout.num_views
+        for (h, w), idxs in ngroups:
+            fovs = jnp.asarray(np.stack([layout.fovs[i] for i in idxs]),
+                               jnp.float32)
+            one = lambda r, f: extract_view(r, f, view_width, (h, w))
+            views = jax.vmap(jax.vmap(one, in_axes=(None, 0)),
+                             in_axes=(0, None))(rgbs, fovs)
+            flat = views.reshape(b * len(idxs), h, w, 3)
+            nh, nw = _round32(h), _round32(w)
+            if (nh, nw) != (h, w):
+                flat = jax.image.resize(flat, (flat.shape[0], nh, nw, 3),
+                                        "bilinear")
+            depths = predict_depth01(persp_params, persp_model, flat)
+            if (nh, nw) != (h, w):
+                depths = jax.image.resize(depths, (depths.shape[0], h, w),
+                                          "bilinear")
+            depths = depths.reshape(b, len(idxs), h, w)
+            for j, i in enumerate(idxs):
+                pmaps[i] = depths[:, j]
+        return baselines, pmaps
+
+    def fuse_stage(baselines, pmaps):
+        def one(e, p):
+            abcd = registration.register_views(e, p, cfg)
+            out_u16, _ = fuse(e, p, plan, abcd=abcd)
+            return out_u16, abcd
+
+        return jax.vmap(one)(baselines, pmaps)
+
+    def full(*args):
+        baselines, pmaps = models_stage(*args)
+        out_u16, _ = fuse_stage(baselines, pmaps)
+        return out_u16, baselines
+
+    return jax.jit(full), jax.jit(models_stage), jax.jit(fuse_stage)
+
+
 def run_batch_e2e(rgb_folder: str, gt_folder: str, result_folder: str,
                   persp_ckpt: str, cfg: MergeConfig = MergeConfig(),
                   baseline_ckpt=None, baseline_folder=None,
                   dataset: str = "matterport", view_width: int = 512,
-                  limit=None, profile: bool = False, log=print):
+                  limit=None, profile: bool = False, batch_size: int = 1,
+                  log=print):
     """Fully on-device batch: RGB -> models -> registration -> fusion.
 
     The perspective model is mandatory; the panoramic baseline comes either
     from a second checkpoint or from baseline files on disk (reference
     conventions).  Outputs and metrics match run_batch's contract.
 
-    Production-shaped like the file-based driver: the next panorama (and
-    its gt) decodes on a background thread while the device computes the
-    current one, and PNG writes go to a writer thread.  With ``profile``
-    the models and registration+fusion run as two separately-timed graphs
-    (host-synced between), mirroring the reference's time_Reg /
-    time_Laplacian split (Main.cpp:667-681); the per-item times land in
-    the returned records.
+    Production-shaped like the file-based driver: ``batch_size`` panoramas
+    run per device launch (one graph for the whole batch — CNNs, vmapped
+    registration and fusion); decode of the next item overlaps device
+    compute (double-buffered submits) and PNG writes go to a writer
+    thread.  A batch flushes early when the input shape changes, so
+    mixed-size folders work at a recompile cost.  The last chunk is padded
+    to the compiled batch shape by repetition and the padding discarded.
+
+    With ``profile`` the models and registration+fusion run as two
+    separately-timed graphs (host-synced between), mirroring the
+    reference's time_Reg / time_Laplacian split (Main.cpp:667-681); the
+    per-item times land in the returned records.
     """
     import os
     import time
@@ -165,53 +245,16 @@ def run_batch_e2e(rgb_folder: str, gt_folder: str, result_folder: str,
         # training resolution; the 0~1 baseline works at any size downstream
         base_w = base_arch.get("pano_width", 512)
 
-    def models_stage(r, baseline=None):
-        """RGB -> (baseline, per-view pmaps)."""
-        if baseline is None:
-            r_base = jax.image.resize(r, (base_w // 2, base_w, 3),
-                                      "bilinear")
-            baseline = base_model.apply(base_params, r_base[None])[0]
-        layout = cfg.layout
-        views = extract_views(r, layout, width=view_width)
-        shapes = [view_shape(layout.fovs[i], view_width)
-                  for i in range(layout.num_views)]
-        net_shapes = [(_round32(h), _round32(w)) for h, w in shapes]
-        pmaps = [None] * layout.num_views
-        groups = {}
-        for i, s in enumerate(net_shapes):
-            groups.setdefault(s, []).append(i)
-        for (nh, nw), idxs in groups.items():
-            batch = jnp.stack([jax.image.resize(views[i], (nh, nw, 3),
-                                                "bilinear") for i in idxs])
-            depths = predict_depth01(persp_params, persp_model, batch)
-            for j, i in enumerate(idxs):
-                h, w = shapes[i]
-                pmaps[i] = jax.image.resize(depths[j], (h, w), "bilinear")
-        return baseline, pmaps
-
-    def fuse_stage(baseline, pmaps):
-        abcd = registration.register_views(baseline, pmaps, cfg)
-        plan = build_fusion_plan(cfg)
-        out_u16, _ = fuse(baseline, pmaps, plan, abcd=abcd)
-        return out_u16, abcd
-
-    # jax.jit caches per input shape, so one jitted callable serves
-    # mixed-size panorama folders
-    jit_models = jax.jit(models_stage)
-    jit_fuse = jax.jit(fuse_stage)
-
-    def _full(*a):
-        baseline, pmaps = models_stage(*a)
-        out_u16, _ = fuse_stage(baseline, pmaps)
-        return out_u16, baseline
-
-    jit_full = jax.jit(_full)
+    jit_full, jit_models, jit_fuse = build_batched_e2e(
+        persp_model, persp_params, cfg, view_width=view_width,
+        base_model=base_model, base_params=base_params, base_w=base_w)
 
     rgb_files = pio.list_images(rgb_folder)
     if limit is not None:
         rgb_files = rgb_files[:limit]
     os.makedirs(result_folder, exist_ok=True)
-    log(f"[run_batch_e2e] {len(rgb_files)} panoramas, on-device models"
+    log(f"[run_batch_e2e] {len(rgb_files)} panoramas, on-device models, "
+        f"batch {batch_size}"
         + (", profiled stages" if profile else ""))
 
     def decode(f):
@@ -219,7 +262,7 @@ def run_batch_e2e(rgb_folder: str, gt_folder: str, result_folder: str,
         rgb_np = pio.load_image01(f)
         if rgb_np.ndim == 2:
             rgb_np = np.stack([rgb_np] * 3, -1)
-        rgb_np = rgb_np[..., :3]
+        rgb_np = rgb_np[..., :3].astype(np.float32)
         baseline_np = None
         if base_model is None:
             bfile = pio.baseline_filename(baseline_folder, raw,
@@ -240,47 +283,80 @@ def run_batch_e2e(rgb_folder: str, gt_folder: str, result_folder: str,
     all_metrics = []
     pool = ThreadPoolExecutor(max_workers=2)
     writes = []
+
+    def submit(chunk):
+        """chunk: list of (i, raw, rgb_np, baseline_np, gt)."""
+        n = len(chunk)
+        rgbs = np.stack([c[2] for c in chunk])
+        if n < batch_size:  # pad to the compiled batch shape
+            rgbs = np.concatenate(
+                [rgbs, np.repeat(rgbs[-1:], batch_size - n, 0)])
+        args = (jnp.asarray(rgbs),)
+        if base_model is None:
+            bases = np.stack([c[3] for c in chunk])
+            if n < batch_size:
+                bases = np.concatenate(
+                    [bases, np.repeat(bases[-1:], batch_size - n, 0)])
+            args += (jnp.asarray(bases),)
+        t0 = time.monotonic()
+        models_ms = None
+        if profile:
+            baselines, pmaps = jit_models(*args)
+            float(pmaps[0][0, 0, 0])       # host sync (axon-safe)
+            models_ms = int((time.monotonic() - t0) * 1000 / n)
+            t0 = time.monotonic()
+            out_u16, _ = jit_fuse(baselines, pmaps)
+        else:
+            out_u16, baselines = jit_full(*args)
+        return chunk, out_u16, baselines, t0, models_ms
+
+    def collect(pending):
+        chunk, out_u16, baselines, t0, models_ms = pending
+        out_np = np.asarray(jax.device_get(out_u16))
+        bases_np = np.asarray(jax.device_get(baselines))
+        fuse_ms = int((time.monotonic() - t0) * 1000 / len(chunk))
+        for j, (i, raw, _, _, gt) in enumerate(chunk):
+            out_file = os.path.join(result_folder, raw + ".png")
+            writes.append(pool.submit(pio.save_png16, out_file, out_np[j]))
+            if gt is not None:
+                m = pmetrics.paired_metrics(
+                    jnp.asarray(gt), jnp.asarray(bases_np[j]),
+                    jnp.asarray(out_np[j].astype(np.float32) / 65535.0),
+                    align_way=cfg.align_way, cap_depth=cfg.cap_depth,
+                    zenith_range=cfg.zenith_range)
+                m.save(os.path.join(result_folder, raw + ".aligned.txt"))
+                m.print()
+                all_metrics.append(m)
+            if profile:
+                log(f"{i}/{len(rgb_files)} {raw}: models {models_ms} ms, "
+                    f"reg+fusion {fuse_ms} ms")
+
+    pending = None
+    batch = []
+    cur_shape = None
     try:
         nxt = pool.submit(decode, todo[0][1]) if todo else None
         for k, (i, f, raw) in enumerate(todo):
             rgb_np, baseline_np, gt = nxt.result()
             nxt = (pool.submit(decode, todo[k + 1][1])
                    if k + 1 < len(todo) else None)
-            args = (jnp.asarray(rgb_np),)
-            if base_model is None:
-                args += (jnp.asarray(baseline_np),)
-            t0 = time.monotonic()
-            if profile:
-                baseline, pmaps = jit_models(*args)
-                float(pmaps[0][0, 0])          # host sync (axon-safe)
-                t1 = time.monotonic()
-                out_u16, abcd = jit_fuse(baseline, pmaps)
-            else:
-                out_u16, baseline = jit_full(*args)
-                t1 = t0
-            out_np = np.asarray(jax.device_get(out_u16))
-            t2 = time.monotonic()
-            out_file = os.path.join(result_folder, raw + ".png")
-            writes.append(pool.submit(pio.save_png16, out_file, out_np))
-            rec = dict(name=raw,
-                       time_models_ms=int((t1 - t0) * 1000) if profile
-                       else None,
-                       time_fuse_ms=int((t2 - t1) * 1000),
-                       metrics=None)
-            if gt is not None:
-                m = pmetrics.paired_metrics(
-                    jnp.asarray(gt), baseline,
-                    jnp.asarray(out_np.astype(np.float32) / 65535.0),
-                    align_way=cfg.align_way, cap_depth=cfg.cap_depth,
-                    zenith_range=cfg.zenith_range)
-                m.save(os.path.join(result_folder, raw + ".aligned.txt"))
-                m.print()
-                rec["metrics"] = m
-                all_metrics.append(m)
-            if profile:
-                log(f"{i}/{len(rgb_files)} {raw}: models "
-                    f"{rec['time_models_ms']} ms, reg+fusion "
-                    f"{rec['time_fuse_ms']} ms")
+            shape = (rgb_np.shape, None if baseline_np is None
+                     else baseline_np.shape)
+            if batch and (shape != cur_shape or len(batch) == batch_size):
+                prev = submit(batch)
+                if pending is not None:
+                    collect(pending)
+                pending = prev
+                batch = []
+            cur_shape = shape
+            batch.append((i, raw, rgb_np, baseline_np, gt))
+        if batch:
+            prev = submit(batch)
+            if pending is not None:
+                collect(pending)
+            pending = prev
+        if pending is not None:
+            collect(pending)
         for wjob in writes:
             wjob.result()
     finally:

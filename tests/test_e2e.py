@@ -47,6 +47,66 @@ def test_full_pipeline_runs():
     assert len(pmaps) == tiny_cfg.layout.num_views  # per-view list
 
 
+def test_run_batch_e2e_batched_matches_single(tmp_path):
+    """--batch-size N in on-device mode: same files as per-item runs.
+
+    Three panoramas through the full file-level driver at batch 1 and
+    batch 2 (the odd count exercises pad-to-batch-shape); u16 outputs may
+    differ by at most 1 step (XLA picks different conv schedules per batch
+    shape)."""
+    import json
+
+    from panodepth import io as pio
+    from panodepth.e2e import run_batch_e2e
+    from panodepth.models import train as ptrain
+
+    # checkpoint laid out exactly as train_cli writes it (npz + sidecar),
+    # so load_model_checkpoint rebuilds this same tiny model
+    s = 0.125
+    model = PerspectiveDepthNet(
+        widths=tuple(max(8, int(w * s)) for w in (64, 128, 256, 512)),
+        decoder_width=max(16, int(128 * s)))
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    ckpt_dir = tmp_path / "ck"
+    ckpt_dir.mkdir()
+    persp_ckpt = str(ckpt_dir / "perspective_final.params.npz")
+    ptrain.save_params_npz(persp_ckpt, params)
+    (ckpt_dir / "perspective.config.json").write_text(json.dumps(
+        dict(model="perspective", width_scale=s, view_size=64,
+             pano_width=64)))
+
+    rng = np.random.RandomState(7)
+    for d in ("rgb", "gt", "bl"):
+        (tmp_path / d).mkdir()
+    for i in range(3):
+        pio.save_jpg(str(tmp_path / "rgb" / f"p{i}.jpg"),
+                     rng.rand(32, 64, 3).astype(np.float32))
+        pio.save_png16(str(tmp_path / "gt" / f"p{i}.png"),
+                       (rng.rand(32, 64) * 60000).astype(np.uint16))
+        # result folders are named *hohonet* so the baseline convention
+        # resolves to the 16-bit <raw>.depth.png form (io.py:163-181)
+        pio.save_png16(str(tmp_path / "bl" / f"p{i}.depth.png"),
+                       (rng.rand(32, 64) * 60000 + 2000).astype(np.uint16))
+
+    outs = {}
+    mets = {}
+    for bs in (1, 2):
+        res = tmp_path / f"res_hohonet_b{bs}"
+        mets[bs] = run_batch_e2e(
+            str(tmp_path / "rgb"), str(tmp_path / "gt"), str(res),
+            persp_ckpt, cfg=E2E_CFG, baseline_folder=str(tmp_path / "bl"),
+            view_width=64, batch_size=bs, log=lambda *a: None)
+        outs[bs] = [np.asarray(
+            np.round(pio.load_image01(str(res / f"p{i}.png")) * 65535.0)
+        ).astype(np.int32) for i in range(3)]
+    assert len(mets[1]) == len(mets[2]) == 3
+    for a, b in zip(outs[1], outs[2]):
+        assert np.abs(a - b).max() <= 1
+    for m1, m2 in zip(mets[1], mets[2]):
+        np.testing.assert_allclose(m1.mse_result, m2.mse_result,
+                                   rtol=1e-4, atol=1e-7)
+
+
 def test_full_pipeline_precomputed_baseline(tiny_scene):
     tiny_cfg = E2E_CFG
     rgb = jnp.asarray(np.stack([make_equirect(64, 32)] * 3, -1))
