@@ -131,7 +131,7 @@ def load_model_checkpoint(ckpt_path: str):
 
 def build_batched_e2e(persp_model, persp_params, cfg: MergeConfig,
                       view_width: int = 512, base_model=None,
-                      base_params=None, base_w: int = 512):
+                      base_params=None, base_w: int = 512, mesh=None):
     """Batched device graphs for the on-device model mode.
 
     Returns ``(jit_full, jit_models, jit_fuse)`` over (B, H, W, 3) RGB
@@ -148,6 +148,12 @@ def build_batched_e2e(persp_model, persp_params, cfg: MergeConfig,
     The reference runs this per panorama across two process boundaries
     (GL views to disk, external CNN, merge; Main.cpp:438-516); here B
     panoramas share one device graph and no pixels leave the device.
+
+    With ``mesh`` (a (dp, sp) :func:`panodepth.parallel.mesh.make_mesh`
+    mesh) the batch axis of every input and output is sharded over ``dp``
+    — CNNs, registration, and fusion are all per-panorama, so the whole
+    e2e graph scales data-parallel with zero collectives on the forward
+    path.  B must then be divisible by the dp size.
     """
     from .ops.projection import extract_view
 
@@ -200,7 +206,16 @@ def build_batched_e2e(persp_model, persp_params, cfg: MergeConfig,
         out_u16, _ = fuse_stage(baselines, pmaps)
         return out_u16, baselines
 
-    return jax.jit(full), jax.jit(models_stage), jax.jit(fuse_stage)
+    if mesh is None:
+        return jax.jit(full), jax.jit(models_stage), jax.jit(fuse_stage)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    # a single batch-axis sharding works as a pytree prefix for every
+    # argument/result (rgbs, baselines, per-view pmap lists, u16 outputs)
+    dp = NamedSharding(mesh, P("dp"))
+    return (jax.jit(full, in_shardings=dp, out_shardings=dp),
+            jax.jit(models_stage, in_shardings=dp, out_shardings=dp),
+            jax.jit(fuse_stage, in_shardings=dp, out_shardings=dp))
 
 
 def run_batch_e2e(rgb_folder: str, gt_folder: str, result_folder: str,

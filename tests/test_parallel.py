@@ -50,6 +50,57 @@ def test_pure_dp_mesh():
     assert np.isfinite(np.asarray(abcd)).all()
 
 
+def test_dp_sharded_e2e_matches_single_device():
+    """The full on-device e2e graph (CNNs + registration + fusion)
+    dp-sharded over the mesh must match the unsharded batched graph."""
+    import math
+
+    from panodepth.config import ViewLayout, register_layout
+    from panodepth.e2e import build_batched_e2e
+    from panodepth.models.panoramic import PanoBaselineNet
+    from panodepth.models.perspective import PerspectiveDepthNet
+
+    d2r = math.pi / 180.0
+    register_layout(ViewLayout(
+        "test_e2e_par",
+        fovs=np.array([(25 * d2r, 175 * d2r, 30 * d2r, 150 * d2r),
+                       (185 * d2r, 355 * d2r, 30 * d2r, 150 * d2r)]),
+        ranges=np.array([(170 * d2r, 30 * d2r, 40 * d2r, 140 * d2r),
+                         (350 * d2r, 190 * d2r, 40 * d2r, 140 * d2r)]),
+    ))
+    cfg = MergeConfig(layout_name="test_e2e_par", out_width=64)
+    persp = PerspectiveDepthNet(stage_sizes=(1, 1, 1, 1),
+                                widths=(8, 16, 16, 32), decoder_width=16)
+    base = PanoBaselineNet(widths=(8, 16, 16, 32))
+    pp = persp.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    bp = base.init(jax.random.PRNGKey(1), jnp.zeros((1, 32, 64, 3)))
+    rgbs = jnp.asarray(np.random.RandomState(5).rand(8, 64, 128, 3)
+                       .astype(np.float32))
+
+    kw = dict(view_width=32, base_model=base, base_params=bp, base_w=64)
+    _, models_s, fuse_s = build_batched_e2e(persp, pp, cfg,
+                                            mesh=make_mesh((8, 1)), **kw)
+    _, models_1, fuse_1 = build_batched_e2e(persp, pp, cfg, **kw)
+    # stage 1 — CNNs: the models are batch-independent (GroupNorm, no
+    # cross-sample ops), but XLA picks different conv schedules for the
+    # per-device batch of 1 vs 8, and the f32 reassociation noise amplifies
+    # through stacked GroupNorm divisions (~0.5% worst-case at random init)
+    base_s, pmaps_s = models_s(rgbs)
+    base_1, pmaps_1 = models_1(rgbs)
+    np.testing.assert_allclose(np.asarray(base_s), np.asarray(base_1),
+                               rtol=2e-2, atol=8e-3)
+    for a, b in zip(pmaps_s, pmaps_1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-2, atol=8e-3)
+    # stage 2 — registration+fusion on IDENTICAL inputs: at most 1 u16 ulp
+    # between the dp-sharded and single-device graphs
+    out_s, _ = fuse_s(base_1, pmaps_1)
+    out_1, _ = fuse_1(base_1, pmaps_1)
+    diff = np.abs(np.asarray(out_s).astype(np.int64)
+                  - np.asarray(out_1).astype(np.int64))
+    assert diff.max() <= 1
+
+
 def test_graft_entry_dryrun():
     import __graft_entry__ as ge
 
