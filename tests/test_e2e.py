@@ -107,6 +107,56 @@ def test_run_batch_e2e_batched_matches_single(tmp_path):
                                    rtol=1e-4, atol=1e-7)
 
 
+def test_run_batch_e2e_baseline_ckpt(tmp_path):
+    """Two-checkpoint mode: the panoramic baseline comes from an on-device
+    model (--baseline-ckpt) instead of files; outputs + metrics appear."""
+    import json
+
+    from panodepth import io as pio
+    from panodepth.e2e import run_batch_e2e
+    from panodepth.models import train as ptrain
+    from panodepth.models.panoramic import PanoBaselineNet
+
+    s = 0.125
+    ck = tmp_path / "ck"
+    ck.mkdir()
+    persp = PerspectiveDepthNet(
+        widths=tuple(max(8, int(w * s)) for w in (64, 128, 256, 512)),
+        decoder_width=max(16, int(128 * s)))
+    pparams = persp.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    ptrain.save_params_npz(str(ck / "perspective_final.params.npz"), pparams)
+    (ck / "perspective.config.json").write_text(json.dumps(
+        dict(model="perspective", width_scale=s, view_size=64,
+             pano_width=64)))
+    base = PanoBaselineNet(
+        widths=tuple(max(8, int(w * s)) for w in (32, 64, 128, 256)))
+    bparams = base.init(jax.random.PRNGKey(1), jnp.zeros((1, 32, 64, 3)))
+    ptrain.save_params_npz(str(ck / "panoramic_final.params.npz"), bparams)
+    (ck / "panoramic.config.json").write_text(json.dumps(
+        dict(model="panoramic", width_scale=s, view_size=64,
+             pano_width=64)))
+
+    rng = np.random.RandomState(11)
+    (tmp_path / "rgb").mkdir()
+    (tmp_path / "gt").mkdir()
+    for i in range(2):
+        pio.save_jpg(str(tmp_path / "rgb" / f"p{i}.jpg"),
+                     rng.rand(32, 64, 3).astype(np.float32))
+        pio.save_png16(str(tmp_path / "gt" / f"p{i}.png"),
+                       (rng.rand(32, 64) * 60000).astype(np.uint16))
+    res = tmp_path / "res"
+    mets = run_batch_e2e(
+        str(tmp_path / "rgb"), str(tmp_path / "gt"), str(res),
+        str(ck / "perspective_final.params.npz"), cfg=E2E_CFG,
+        baseline_ckpt=str(ck / "panoramic_final.params.npz"),
+        view_width=64, batch_size=2, log=lambda *a: None)
+    assert len(mets) == 2
+    for i in range(2):
+        out = pio.load_image01(str(res / f"p{i}.png"))
+        assert out.shape == (E2E_CFG.out_height, E2E_CFG.out_width)
+        assert np.isfinite(out).all()
+
+
 def test_full_pipeline_precomputed_baseline(tiny_scene):
     tiny_cfg = E2E_CFG
     rgb = jnp.asarray(np.stack([make_equirect(64, 32)] * 3, -1))
