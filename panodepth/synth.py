@@ -322,6 +322,8 @@ def write_dataset(outdir: str, count: int, width: int = 2048,
     from . import io as pio
 
     rng = np.random.RandomState(seed)
+    for _ in range(start):  # burn the first `start` scenes so that
+        sample_scene(rng)   # (seed, start) slices one disjoint stream
     os.makedirs(os.path.join(outdir, "rgb"), exist_ok=True)
     os.makedirs(os.path.join(outdir, "gt"), exist_ok=True)
     render = jax.jit(lambda s: render_pano(s, width))
