@@ -38,6 +38,18 @@ def _round32(v: int) -> int:
     return max(32, (v // 32) * 32)
 
 
+def _as01_img(x):
+    """On-device normalization of streamed integer images (uint8 RGB from
+    JPEG/8-bit PNG, uint16 baselines) to f32 0~1.  Matches the host
+    decoder's k/255 and k/65535 up to 1 f32 ulp (XLA divides by
+    reciprocal-multiply), same caveat as pipeline._as01."""
+    if x.dtype == jnp.uint8:
+        return x.astype(jnp.float32) / 255.0
+    if x.dtype == jnp.uint16:
+        return x.astype(jnp.float32) / 65535.0
+    return x
+
+
 def full_pipeline(rgb, persp_model: PerspectiveDepthNet, persp_params,
                   base_model: Optional[PanoBaselineNet] = None,
                   base_params=None, baseline=None,
@@ -167,10 +179,13 @@ def build_batched_e2e(persp_model, persp_params, cfg: MergeConfig,
     ngroups = list(grouped.items())
 
     def models_stage(rgbs, baselines=None):
+        rgbs = _as01_img(rgbs)
         if baselines is None:
             rb = jax.vmap(lambda r: jax.image.resize(
                 r, (base_w // 2, base_w, 3), "bilinear"))(rgbs)
             baselines = base_model.apply(base_params, rb)
+        else:
+            baselines = _as01_img(baselines)
         b = rgbs.shape[0]
         pmaps = [None] * layout.num_views
         for (h, w), idxs in ngroups:
@@ -223,7 +238,7 @@ def run_batch_e2e(rgb_folder: str, gt_folder: str, result_folder: str,
                   baseline_ckpt=None, baseline_folder=None,
                   dataset: str = "matterport", view_width: int = 512,
                   limit=None, profile: bool = False, batch_size: int = 1,
-                  log=print):
+                  stream: str = "auto", log=print):
     """Fully on-device batch: RGB -> models -> registration -> fusion.
 
     The perspective model is mandatory; the panoramic baseline comes either
@@ -242,6 +257,13 @@ def run_batch_e2e(rgb_folder: str, gt_folder: str, result_folder: str,
     separately-timed graphs (host-synced between), mirroring the
     reference's time_Reg / time_Laplacian split (Main.cpp:667-681); the
     per-item times land in the returned records.
+
+    ``stream`` — "on"/"off"/"auto": transfer integer-source inputs to the
+    device in their native width (uint8 RGB = quarter, uint16 baselines =
+    half the host->device bytes) and normalize on-device.  "auto" enables
+    it only on TPU where the tunnel transfer dominates; the on-device
+    k/255 and k/65535 can differ from the host's by 1 f32 ulp (same
+    caveat as merge_many's stream_u16).
     """
     import os
     import time
@@ -272,17 +294,30 @@ def run_batch_e2e(rgb_folder: str, gt_folder: str, result_folder: str,
         f"batch {batch_size}"
         + (", profiled stages" if profile else ""))
 
+    stream_on = (stream == "on"
+                 or (stream == "auto" and jax.default_backend() == "tpu"))
+
+    def load_streamed(f):
+        """Decode keeping the source integer width when streaming."""
+        if stream_on:
+            r = pio.load_image_int(f)
+            if r is not None:
+                return r[0]
+        return pio.load_image01(f).astype(np.float32)
+
     def decode(f):
         raw = pio.raw_name(f)
-        rgb_np = pio.load_image01(f)
+        rgb_np = load_streamed(f)
         if rgb_np.ndim == 2:
             rgb_np = np.stack([rgb_np] * 3, -1)
-        rgb_np = rgb_np[..., :3].astype(np.float32)
+        rgb_np = rgb_np[..., :3]
         baseline_np = None
         if base_model is None:
             bfile = pio.baseline_filename(baseline_folder, raw,
                                           result_folder)
-            baseline_np = pio.load_image01(bfile)
+            baseline_np = load_streamed(bfile)
+            if baseline_np.ndim == 3:
+                baseline_np = baseline_np[..., 0]
         gt_file = pio.gt_filename(gt_folder, raw, dataset)
         gt = pio.load_image01(gt_file) if os.path.exists(gt_file) else None
         return rgb_np, baseline_np, gt
@@ -355,8 +390,9 @@ def run_batch_e2e(rgb_folder: str, gt_folder: str, result_folder: str,
             rgb_np, baseline_np, gt = nxt.result()
             nxt = (pool.submit(decode, todo[k + 1][1])
                    if k + 1 < len(todo) else None)
-            shape = (rgb_np.shape, None if baseline_np is None
-                     else baseline_np.shape)
+            shape = (rgb_np.shape, rgb_np.dtype.str,
+                     None if baseline_np is None
+                     else (baseline_np.shape, baseline_np.dtype.str))
             if batch and (shape != cur_shape or len(batch) == batch_size):
                 prev = submit(batch)
                 if pending is not None:

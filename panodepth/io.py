@@ -57,6 +57,27 @@ def load_image01(filename: str, mono360: bool = False) -> np.ndarray:
     return out
 
 
+def load_image_int(filename: str):
+    """Integer-preserving load for transfer streaming: (array, scale).
+
+    Returns the decoded uint8 or uint16 array with its 0~1 normalization
+    divisor (255.0 / 65535.0), or ``None`` for formats without an exact
+    integer representation (PFM floats).  ``array/scale`` equals
+    :func:`load_image01` up to 1 f32 ulp; callers stream the integers to
+    the device and normalize there (half/quarter the host->device bytes).
+    """
+    if filename.lower().endswith(".pfm"):
+        return None
+    arr = np.asarray(Image.open(filename))
+    if arr.dtype == np.uint8:
+        return arr, 255.0
+    if arr.dtype == np.uint16:
+        return arr, 65535.0
+    if arr.dtype in (np.int32, np.uint32):
+        return arr.astype(np.uint16), 65535.0
+    return None
+
+
 def load_pfm(filename: str) -> np.ndarray:
     """Raw PFM float array, shape (H, W) or (H, W, 3), file row order kept.
 

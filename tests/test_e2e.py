@@ -90,21 +90,25 @@ def test_run_batch_e2e_batched_matches_single(tmp_path):
 
     outs = {}
     mets = {}
-    for bs in (1, 2):
-        res = tmp_path / f"res_hohonet_b{bs}"
-        mets[bs] = run_batch_e2e(
+    # (2, "on") additionally streams the uint8 JPEG rgb and uint16 PNG
+    # baseline to the device raw, normalizing there (1 f32 ulp caveat)
+    for bs, stream in ((1, "off"), (2, "off"), (2, "on")):
+        res = tmp_path / f"res_hohonet_b{bs}{stream}"
+        mets[bs, stream] = run_batch_e2e(
             str(tmp_path / "rgb"), str(tmp_path / "gt"), str(res),
             persp_ckpt, cfg=E2E_CFG, baseline_folder=str(tmp_path / "bl"),
-            view_width=64, batch_size=bs, log=lambda *a: None)
-        outs[bs] = [np.asarray(
+            view_width=64, batch_size=bs, stream=stream,
+            log=lambda *a: None)
+        outs[bs, stream] = [np.asarray(
             np.round(pio.load_image01(str(res / f"p{i}.png")) * 65535.0)
         ).astype(np.int32) for i in range(3)]
-    assert len(mets[1]) == len(mets[2]) == 3
-    for a, b in zip(outs[1], outs[2]):
-        assert np.abs(a - b).max() <= 1
-    for m1, m2 in zip(mets[1], mets[2]):
-        np.testing.assert_allclose(m1.mse_result, m2.mse_result,
-                                   rtol=1e-4, atol=1e-7)
+    assert all(len(m) == 3 for m in mets.values())
+    for key in ((2, "off"), (2, "on")):
+        for a, b in zip(outs[1, "off"], outs[key]):
+            assert np.abs(a - b).max() <= 1
+        for m1, m2 in zip(mets[1, "off"], mets[key]):
+            np.testing.assert_allclose(m1.mse_result, m2.mse_result,
+                                       rtol=1e-4, atol=1e-7)
 
 
 def test_run_batch_e2e_baseline_ckpt(tmp_path):
