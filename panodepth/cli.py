@@ -66,6 +66,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "with this on-TPU model instead of baseline files")
     p.add_argument("--view-width", type=int, default=512,
                    help="perspective inference width in on-device mode")
+    p.add_argument("--debug-nans", action="store_true",
+                   help="abort on the first NaN produced inside any jitted "
+                        "graph (jax_debug_nans; SURVEY.md section 5 — the "
+                        "functional replacement for the reference's oops! "
+                        "prints, Depth.cpp:1600-1601)")
     return p
 
 
@@ -75,6 +80,10 @@ def main(argv=None) -> int:
         import jax
 
         jax.config.update("jax_platforms", args.platform)
+    if args.debug_nans:
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
     from .config import MergeConfig
     from .pipeline import run_batch
 

@@ -42,6 +42,8 @@ def build_parser():
                    help="initialize params from an existing checkpoint "
                         "(orbax dir or .params.npz) — e.g. fine-tune at a "
                         "larger --view-size; optimizer state starts fresh")
+    p.add_argument("--debug-nans", action="store_true",
+                   help="abort on the first NaN inside any jitted graph")
     return p
 
 
@@ -54,6 +56,9 @@ def main(argv=None) -> int:
     import jax
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
 
     from .models import data as pdata
     from .models import train as ptrain
