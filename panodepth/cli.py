@@ -66,6 +66,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "with this on-TPU model instead of baseline files")
     p.add_argument("--view-width", type=int, default=512,
                    help="perspective inference width in on-device mode")
+    p.add_argument("--stream", default="auto", choices=["auto", "on", "off"],
+                   help="transfer integer-source inputs to the device in "
+                        "their native width (u8/u16) and normalize there; "
+                        "auto = TPU only (1 f32 ulp caveat, see merge_many)")
     p.add_argument("--debug-nans", action="store_true",
                    help="abort on the first NaN produced inside any jitted "
                         "graph (jax_debug_nans; SURVEY.md section 5 — the "
@@ -105,6 +109,7 @@ def main(argv=None) -> int:
                 baseline_folder=args.baseline_folder, dataset=args.dataset,
                 view_width=args.view_width, limit=args.limit,
                 profile=args.profile, batch_size=args.batch_size,
+                stream=args.stream,
             )
         else:
             run_batch(
@@ -114,6 +119,7 @@ def main(argv=None) -> int:
                 extract_rgb_views=not args.no_extract, pmap_ext=args.pmap_ext,
                 limit=args.limit, include=args.include, exclude=args.exclude,
                 profile=args.profile, batch_size=args.batch_size,
+                stream=args.stream,
             )
     return 0
 

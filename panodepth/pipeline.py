@@ -497,6 +497,7 @@ def run_batch(
     profile: bool = False,
     manifest: bool = True,
     batch_size: int = 1,
+    stream: str = "auto",
 ) -> List[pmetrics.Metrics]:
     """Batch driver (CreateDepthPanoramas parity, Main.cpp:329-689).
 
@@ -569,7 +570,7 @@ def run_batch(
 
     if batch_size > 1:
         results = merge_many(todo, cfg, batch_size=batch_size, log=log,
-                             profile=profile)
+                             profile=profile, stream_u16=stream)
         for it, res in zip(todo, results):
             if res is None:
                 quarantined.append({"name": it["raw"], "error": "load/merge"})
