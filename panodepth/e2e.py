@@ -256,7 +256,9 @@ def run_batch_e2e(rgb_folder: str, gt_folder: str, result_folder: str,
     With ``profile`` the models and registration+fusion run as two
     separately-timed graphs (host-synced between), mirroring the
     reference's time_Reg / time_Laplacian split (Main.cpp:667-681); the
-    per-item times land in the returned records.
+    per-item splits are logged and a batch-average summary is printed at
+    the end (the reference's rolling-averages analog).  Returns the list
+    of per-item :class:`panodepth.metrics.Metrics` (gt-scored items only).
 
     ``stream`` — "on"/"off"/"auto": transfer integer-source inputs to the
     device in their native width (uint8 RGB = quarter, uint16 baselines =
@@ -331,6 +333,7 @@ def run_batch_e2e(rgb_folder: str, gt_folder: str, result_folder: str,
         todo.append((i, f, raw))
 
     all_metrics = []
+    models_times, fuse_times = [], []
     pool = ThreadPoolExecutor(max_workers=2)
     writes = []
 
@@ -365,6 +368,9 @@ def run_batch_e2e(rgb_folder: str, gt_folder: str, result_folder: str,
         out_np = np.asarray(jax.device_get(out_u16))
         bases_np = np.asarray(jax.device_get(baselines))
         fuse_ms = int((time.monotonic() - t0) * 1000 / len(chunk))
+        if models_ms is not None:
+            models_times.extend([models_ms] * len(chunk))
+        fuse_times.extend([fuse_ms] * len(chunk))
         for j, (i, raw, _, _, gt) in enumerate(chunk):
             out_file = os.path.join(result_folder, raw + ".png")
             writes.append(pool.submit(pio.save_png16, out_file, out_np[j]))
@@ -412,4 +418,11 @@ def run_batch_e2e(rgb_folder: str, gt_folder: str, result_folder: str,
             wjob.result()
     finally:
         pool.shutdown(wait=True)
+    if fuse_times:
+        split = (f"time_Models_avg:{np.mean(models_times):.1f} "
+                 if models_times else
+                 "time_Models_avg:n/a (fused graph; use --profile) ")
+        log(f"[run_batch_e2e] done: {len(fuse_times)} panoramas, "
+            + split
+            + f"time_Fuse_avg:{np.mean(fuse_times):.1f}")
     return all_metrics
