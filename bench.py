@@ -117,15 +117,17 @@ def bench_e2e() -> None:
     from panodepth.e2e import build_batched_e2e, load_model_checkpoint
 
     cfg = MergeConfig(out_width=2048)
-    persp_model, persp_params, _ = load_model_checkpoint(persp)
+    persp_model, persp_params, persp_arch = load_model_checkpoint(persp)
     base_model, base_params, base_arch = load_model_checkpoint(base)
     bw = base_arch.get("pano_width", 512)
+    # match the CLI's default: perspective CNN at its training resolution
+    vw = persp_arch.get("view_size", 512)
 
     rng = np.random.RandomState(1)
     e2e_reps = max(2, REPS // 2)
     for batch in (1, int(os.environ.get("BENCH_E2E_BATCH", "4"))):
         fn, _, _ = build_batched_e2e(
-            persp_model, persp_params, cfg, view_width=512,
+            persp_model, persp_params, cfg, view_width=vw,
             base_model=base_model, base_params=base_params, base_w=bw)
         rgbs = jnp.asarray(
             rng.rand(batch, 1024, 2048, 3).astype(np.float32))

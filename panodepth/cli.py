@@ -64,8 +64,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--baseline-ckpt", default=None,
                    help="with --persp-ckpt: produce the panoramic baseline "
                         "with this on-TPU model instead of baseline files")
-    p.add_argument("--view-width", type=int, default=512,
-                   help="perspective inference width in on-device mode")
+    p.add_argument("--view-width", type=int, default=None,
+                   help="perspective inference width in on-device mode "
+                        "(default: the checkpoint's training view_size — "
+                        "CNN accuracy drops off its training resolution)")
     p.add_argument("--stream", default="auto", choices=["auto", "on", "off"],
                    help="transfer integer-source inputs to the device in "
                         "their native width (u8/u16) and normalize there; "

@@ -236,7 +236,7 @@ def build_batched_e2e(persp_model, persp_params, cfg: MergeConfig,
 def run_batch_e2e(rgb_folder: str, gt_folder: str, result_folder: str,
                   persp_ckpt: str, cfg: MergeConfig = MergeConfig(),
                   baseline_ckpt=None, baseline_folder=None,
-                  dataset: str = "matterport", view_width: int = 512,
+                  dataset: str = "matterport", view_width=None,
                   limit=None, profile: bool = False, batch_size: int = 1,
                   stream: str = "auto", log=print):
     """Fully on-device batch: RGB -> models -> registration -> fusion.
@@ -274,7 +274,12 @@ def run_batch_e2e(rgb_folder: str, gt_folder: str, result_folder: str,
     from . import io as pio
     from . import metrics as pmetrics
 
-    persp_model, persp_params, _ = load_model_checkpoint(persp_ckpt)
+    persp_model, persp_params, persp_arch = load_model_checkpoint(persp_ckpt)
+    if view_width is None:
+        # run the perspective CNN at its training resolution by default —
+        # on the zoo weights this is the difference between 4/6 and 6/6
+        # held-out scenes improving over their baseline (see zoo/README.md)
+        view_width = persp_arch.get("view_size", 512)
     base_model = base_params = None
     base_w = 512
     if baseline_ckpt:
