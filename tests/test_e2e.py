@@ -113,7 +113,11 @@ def test_run_batch_e2e_batched_matches_single(tmp_path):
 
 def test_run_batch_e2e_baseline_ckpt(tmp_path):
     """Two-checkpoint mode: the panoramic baseline comes from an on-device
-    model (--baseline-ckpt) instead of files; outputs + metrics appear."""
+    model (--baseline-ckpt) instead of files; outputs + metrics appear.
+
+    view_width is left unset — the driver must default it to the
+    perspective sidecar's training view_size (64 here), pinning the
+    auto-resolution behavior the zoo proof depends on."""
     import json
 
     from panodepth import io as pio
@@ -153,7 +157,7 @@ def test_run_batch_e2e_baseline_ckpt(tmp_path):
         str(tmp_path / "rgb"), str(tmp_path / "gt"), str(res),
         str(ck / "perspective_final.params.npz"), cfg=E2E_CFG,
         baseline_ckpt=str(ck / "panoramic_final.params.npz"),
-        view_width=64, batch_size=2, log=lambda *a: None)
+        batch_size=2, log=lambda *a: None)
     assert len(mets) == 2
     for i in range(2):
         out = pio.load_image01(str(res / f"p{i}.png"))
