@@ -35,7 +35,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-BATCH = int(os.environ.get("BENCH_BATCH", "8"))
+# batch sweeps on the v5e (r2): 2048 fused — b8 223/s, b16 257/s, b32
+# 207/s (HBM pressure, 156% spread); 4096 fused — b1 11.9, b4 43, b8 58.8,
+# b16 66.3, b32 49.5/s; e2e models — b4 25.4, b8 29.1, b16 25.8/s.
+BATCH = int(os.environ.get("BENCH_BATCH", "16"))
 REPS = int(os.environ.get("BENCH_REPS", "5"))
 TRIALS = int(os.environ.get("BENCH_TRIALS", "5"))
 NORTH_STAR = 30.0  # panoramas/sec @2048 on v5e-8 (BASELINE.json)
@@ -125,7 +128,7 @@ def bench_e2e() -> None:
 
     rng = np.random.RandomState(1)
     e2e_reps = max(2, REPS // 2)
-    for batch in (1, int(os.environ.get("BENCH_E2E_BATCH", "4"))):
+    for batch in (1, int(os.environ.get("BENCH_E2E_BATCH", "8"))):
         fn, _, _ = build_batched_e2e(
             persp_model, persp_params, cfg, view_width=vw,
             base_model=base_model, base_params=base_params, base_w=bw)
@@ -149,7 +152,7 @@ def bench_e2e() -> None:
 
 def main() -> None:
     bench_merge(2048, BATCH)
-    bench_merge(4096, max(1, BATCH // 8))
+    bench_merge(4096, BATCH)  # batch 16 is the 4096 sweet spot too (5.6x b1)
     bench_e2e()
 
 
