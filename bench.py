@@ -37,8 +37,9 @@ import numpy as np
 
 # batch sweeps on the v5e (r2): 2048 fused — b8 223/s, b16 257/s, b32
 # 207/s (HBM pressure, 156% spread); 4096 fused — b1 11.9, b4 43, b8 58.8,
-# b16 66.3, b32 49.5/s; e2e models — b4 25.4, b8 29.1, b16 25.8/s (f32
-# extraction; 32.7/s @b8 with the default bf16 extraction gathers).
+# b16 66.3, b32 49.5/s; e2e models — b4 25.4, b8 29.1, b16 25.8/s with f32
+# extraction + jnp Jacobi; 50.4/s @b8 with the defaults (bf16 extraction
+# gathers + Pallas fused-iteration Jacobi).
 BATCH = int(os.environ.get("BENCH_BATCH", "16"))
 REPS = int(os.environ.get("BENCH_REPS", "5"))
 TRIALS = int(os.environ.get("BENCH_TRIALS", "5"))

@@ -111,7 +111,7 @@ def main(argv=None) -> int:
                 baseline_folder=args.baseline_folder, dataset=args.dataset,
                 view_width=args.view_width, limit=args.limit,
                 profile=args.profile, batch_size=args.batch_size,
-                stream=args.stream,
+                stream=args.stream, jacobi=args.jacobi,
             )
         else:
             run_batch(

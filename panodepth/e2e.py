@@ -144,7 +144,7 @@ def load_model_checkpoint(ckpt_path: str):
 def build_batched_e2e(persp_model, persp_params, cfg: MergeConfig,
                       view_width: int = 512, base_model=None,
                       base_params=None, base_w: int = 512, mesh=None,
-                      extract_dtype: str = "auto"):
+                      extract_dtype: str = "auto", jacobi_kind: str = "auto"):
     """Batched device graphs for the on-device model mode.
 
     Returns ``(jit_full, jit_models, jit_fuse)`` over (B, H, W, 3) RGB
@@ -177,7 +177,11 @@ def build_batched_e2e(persp_model, persp_params, cfg: MergeConfig,
     fusion are untouched (f32 everywhere).
     """
     from .ops.projection import extract_view
+    from .pipeline import _resolve_jacobi
 
+    # the Pallas fused-iteration kernel on TPU (self-falls-back to the
+    # jnp Jacobi elsewhere) — same "auto" policy as the file-based driver
+    jacobi_fn = _resolve_jacobi(jacobi_kind)
     layout = cfg.layout
     plan = build_fusion_plan(cfg)
     shapes = [view_shape(layout.fovs[i], view_width)
@@ -226,7 +230,7 @@ def build_batched_e2e(persp_model, persp_params, cfg: MergeConfig,
     def fuse_stage(baselines, pmaps):
         def one(e, p):
             abcd = registration.register_views(e, p, cfg)
-            out_u16, _ = fuse(e, p, plan, abcd=abcd)
+            out_u16, _ = fuse(e, p, plan, jacobi_fn=jacobi_fn, abcd=abcd)
             return out_u16, abcd
 
         return jax.vmap(one)(baselines, pmaps)
@@ -253,7 +257,7 @@ def run_batch_e2e(rgb_folder: str, gt_folder: str, result_folder: str,
                   baseline_ckpt=None, baseline_folder=None,
                   dataset: str = "matterport", view_width=None,
                   limit=None, profile: bool = False, batch_size: int = 1,
-                  stream: str = "auto", log=print):
+                  stream: str = "auto", jacobi: str = "auto", log=print):
     """Fully on-device batch: RGB -> models -> registration -> fusion.
 
     The perspective model is mandatory; the panoramic baseline comes either
@@ -306,7 +310,8 @@ def run_batch_e2e(rgb_folder: str, gt_folder: str, result_folder: str,
 
     jit_full, jit_models, jit_fuse = build_batched_e2e(
         persp_model, persp_params, cfg, view_width=view_width,
-        base_model=base_model, base_params=base_params, base_w=base_w)
+        base_model=base_model, base_params=base_params, base_w=base_w,
+        jacobi_kind=jacobi)
 
     rgb_files = pio.list_images(rgb_folder)
     if limit is not None:
