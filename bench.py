@@ -38,8 +38,8 @@ import numpy as np
 # batch sweeps on the v5e (r2): 2048 fused — b8 223/s, b16 257/s, b32
 # 207/s (HBM pressure, 156% spread); 4096 fused — b1 11.9, b4 43, b8 58.8,
 # b16 66.3, b32 49.5/s; e2e models — b4 25.4, b8 29.1, b16 25.8/s with f32
-# extraction + jnp Jacobi; 50.4/s @b8 with the defaults (bf16 extraction
-# gathers + Pallas fused-iteration Jacobi).
+# extraction + jnp Jacobi; with the defaults (bf16 extraction gathers +
+# Pallas fused-iteration Jacobi) — b8 50.4, b16 53.5, b32 45.0/s.
 BATCH = int(os.environ.get("BENCH_BATCH", "16"))
 REPS = int(os.environ.get("BENCH_REPS", "5"))
 TRIALS = int(os.environ.get("BENCH_TRIALS", "5"))
@@ -130,7 +130,7 @@ def bench_e2e() -> None:
 
     rng = np.random.RandomState(1)
     e2e_reps = max(2, REPS // 2)
-    for batch in (1, int(os.environ.get("BENCH_E2E_BATCH", "8"))):
+    for batch in (1, int(os.environ.get("BENCH_E2E_BATCH", "16"))):
         fn, _, _ = build_batched_e2e(
             persp_model, persp_params, cfg, view_width=vw,
             base_model=base_model, base_params=base_params, base_w=bw)
