@@ -38,8 +38,9 @@ import numpy as np
 # batch sweeps on the v5e (r2): 2048 fused — b8 223/s, b16 257/s, b32
 # 207/s (HBM pressure, 156% spread); 4096 fused — b1 11.9, b4 43, b8 58.8,
 # b16 66.3, b32 49.5/s; e2e models — b4 25.4, b8 29.1, b16 25.8/s with f32
-# extraction + jnp Jacobi; with the defaults (bf16 extraction gathers +
-# Pallas fused-iteration Jacobi) — b8 50.4, b16 53.5, b32 45.0/s.
+# extraction + jnp Jacobi; with the defaults (packed-u32 extraction
+# gathers + Pallas fused-iteration Jacobi) — b16 58.5/s (bf16 gathers:
+# b8 50.4, b16 53.5, b32 45.0/s).
 BATCH = int(os.environ.get("BENCH_BATCH", "16"))
 REPS = int(os.environ.get("BENCH_REPS", "5"))
 TRIALS = int(os.environ.get("BENCH_TRIALS", "5"))

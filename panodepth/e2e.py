@@ -168,12 +168,15 @@ def build_batched_e2e(persp_model, persp_params, cfg: MergeConfig,
     e2e graph scales data-parallel with zero collectives on the forward
     path.  B must then be divisible by the dp size.
 
-    ``extract_dtype`` — "auto"/"bf16"/"f32": precision of the RGB fed to
-    the CNN branches (bilinear view-extraction gathers + baseline resize).
-    The gathers are HBM-bandwidth-bound and bf16 halves their bytes
-    (measured 12.1 -> 6.4 ms/pano on the v5e); both CNNs cast to bf16
-    internally anyway, so only the pre-cast interpolation precision
-    changes.  "auto" uses bf16 on TPU, f32 elsewhere.  Registration and
+    ``extract_dtype`` — "auto"/"packed"/"bf16"/"f32": representation of
+    the RGB fed to the view-extraction gathers, which are HBM-bandwidth-
+    bound.  "packed" gathers one u32 per bilinear tap from a
+    :func:`..ops.sampling.pack_rgb_u32` table — a quarter of the f32
+    bytes and one gather instead of a 3-channel one (12.1 -> 4.7 ms/pano
+    measured on the v5e), *exact* for 8-bit sources; "bf16" halves the
+    bytes instead (6.4 ms/pano, ~8-bit mantissa).  The baseline-CNN
+    resize runs in bf16 under either (both CNNs cast to bf16 internally
+    anyway).  "auto" = packed on TPU, f32 elsewhere.  Registration and
     fusion are untouched (f32 everywhere).
     """
     from .ops.projection import extract_view
@@ -191,28 +194,42 @@ def build_batched_e2e(persp_model, persp_params, cfg: MergeConfig,
         grouped.setdefault(s, []).append(i)
     ngroups = list(grouped.items())
 
-    ex_bf16 = (extract_dtype == "bf16"
-               or (extract_dtype == "auto"
-                   and jax.default_backend() == "tpu"))
+    ex_mode = extract_dtype
+    if ex_mode == "auto":
+        ex_mode = "packed" if jax.default_backend() == "tpu" else "f32"
 
     def models_stage(rgbs, baselines=None):
-        rgbs = _as01_img(rgbs)
-        if ex_bf16:
-            rgbs = rgbs.astype(jnp.bfloat16)
+        from .ops.sampling import (pack_rgb_u32,
+                                   sample_equirect_bilinear_packed)
+
+        rgbs01 = _as01_img(rgbs)
         if baselines is None:
+            rb_src = (rgbs01 if ex_mode == "f32"
+                      else rgbs01.astype(jnp.bfloat16))
             rb = jax.vmap(lambda r: jax.image.resize(
-                r, (base_w // 2, base_w, 3), "bilinear"))(rgbs)
+                r, (base_w // 2, base_w, 3), "bilinear"))(rb_src)
             baselines = base_model.apply(base_params, rb)
         else:
             baselines = _as01_img(baselines)
+        sampler = None
+        if ex_mode == "packed":
+            # pack straight from uint8 when streaming (skips the f32 trip)
+            src = jax.vmap(pack_rgb_u32)(
+                rgbs if rgbs.dtype == jnp.uint8 else rgbs01)
+            sampler = sample_equirect_bilinear_packed
+        elif ex_mode == "bf16":
+            src = rgbs01.astype(jnp.bfloat16)
+        else:
+            src = rgbs01
         b = rgbs.shape[0]
         pmaps = [None] * layout.num_views
         for (h, w), idxs in ngroups:
             fovs = jnp.asarray(np.stack([layout.fovs[i] for i in idxs]),
                                jnp.float32)
-            one = lambda r, f: extract_view(r, f, view_width, (h, w))
+            one = lambda r, f: extract_view(r, f, view_width, (h, w),
+                                            sampler=sampler)
             views = jax.vmap(jax.vmap(one, in_axes=(None, 0)),
-                             in_axes=(0, None))(rgbs, fovs)
+                             in_axes=(0, None))(src, fovs)
             flat = views.reshape(b * len(idxs), h, w, 3)
             nh, nw = _round32(h), _round32(w)
             if (nh, nw) != (h, w):

@@ -42,12 +42,15 @@ def view_shape(fov, width: int = 1024) -> Tuple[int, int]:
     return int(round(width / aspect)), width
 
 
-def extract_view(rgb, fov, width: int = 1024, shape: Tuple[int, int] = None):
+def extract_view(rgb, fov, width: int = 1024, shape: Tuple[int, int] = None,
+                 sampler=None):
     """One perspective view from an equirect image (H, W[, C]) -> (h, w[, C]).
 
     Rays go through pixel centers ((i+0.5)/w on the window), matching GL
     rasterization sample positions.  ``fov`` may be a traced (4,) array if
-    the static output ``shape`` is supplied.
+    the static output ``shape`` is supplied.  ``sampler`` overrides the
+    bilinear gather (e.g. :func:`..ops.sampling.
+    sample_equirect_bilinear_packed` over a packed-u32 RGB table).
     """
     h, w = shape if shape is not None else view_shape(fov, width)
     win = geometry.make_window(fov[0], fov[1], fov[2], fov[3], xp=jnp)
@@ -55,7 +58,7 @@ def extract_view(rgb, fov, width: int = 1024, shape: Tuple[int, int] = None):
     ys = (jnp.arange(h, dtype=jnp.float32) + 0.5) / h
     xg, yg = jnp.meshgrid(xs, ys)
     azi, zen = geometry.xy_to_spherical(win, xg, yg, xp=jnp)
-    return sample_equirect_bilinear(rgb, azi, zen)
+    return (sampler or sample_equirect_bilinear)(rgb, azi, zen)
 
 
 def extract_views(rgb, layout: ViewLayout, width: int = 1024) -> List[jnp.ndarray]:

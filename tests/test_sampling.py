@@ -82,3 +82,22 @@ def test_rotate_equirect_identity_and_yaw():
     # cols -2/-1 touch the azimuth wrap after the shift; exclude them
     np.testing.assert_allclose(rolled[8:24, 1:-2],
                                np.roll(img, -1, 1)[8:24, 1:-2], atol=0.08)
+
+
+def test_packed_bilinear_matches_f32_for_u8_sources():
+    """pack_rgb_u32 + packed sampler == the f32 bilinear path for 8-bit
+    RGB sources (the e2e extraction fast path; one u32 gather per tap)."""
+    rng = np.random.RandomState(9)
+    rgb_u8 = rng.randint(0, 256, (32, 64, 3)).astype(np.uint8)
+    rgb_f32 = rgb_u8.astype(np.float32) / 255.0
+    azi = jnp.asarray(rng.uniform(0, 2 * math.pi, (10, 11)).astype(np.float32))
+    zen = jnp.asarray(rng.uniform(0, math.pi, (10, 11)).astype(np.float32))
+
+    ref = np.asarray(sampling.sample_equirect_bilinear(
+        jnp.asarray(rgb_f32), azi, zen))
+    for src in (rgb_u8, rgb_f32):  # uint8 direct and f32-roundtrip packing
+        packed = sampling.pack_rgb_u32(jnp.asarray(src))
+        assert packed.dtype == jnp.uint32 and packed.shape == (32, 64)
+        got = np.asarray(sampling.sample_equirect_bilinear_packed(
+            packed, azi, zen))
+        np.testing.assert_allclose(got, ref, atol=2e-6)
