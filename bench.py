@@ -39,7 +39,8 @@ import numpy as np
 # 207/s (HBM pressure, 156% spread); 4096 fused — b1 11.9, b4 43, b8 58.8,
 # b16 66.3, b32 49.5/s; e2e models — b4 25.4, b8 29.1, b16 25.8/s with f32
 # extraction + jnp Jacobi; with the defaults (packed-u32 extraction
-# gathers + Pallas fused-iteration Jacobi) — b16 58.5/s (bf16 gathers:
+# gathers + Pallas fused-iteration Jacobi + round-up CNN shapes) — b16
+# 54.1/s (58.5 with round-down 224x256 CNN shapes; bf16 gathers:
 # b8 50.4, b16 53.5, b32 45.0/s).
 BATCH = int(os.environ.get("BENCH_BATCH", "16"))
 REPS = int(os.environ.get("BENCH_REPS", "5"))
