@@ -178,3 +178,36 @@ def test_full_pipeline_precomputed_baseline(tiny_scene):
     assert out.shape == (tiny_cfg.out_height, tiny_cfg.out_width)
     np.testing.assert_array_equal(np.asarray(baseline),
                                   tiny_scene["emap"])
+
+
+def test_batched_e2e_packed_extraction_matches_f32():
+    """extract_dtype='packed' (the TPU default) vs 'f32' through the full
+    batched graph: u16 outputs agree within 2 steps on a u8-exact input.
+    The only arithmetic difference is the baseline resize precision (bf16
+    under packed) and f32 interpolation rounding in the packed sampler."""
+    from panodepth.e2e import build_batched_e2e
+
+    tiny_cfg = E2E_CFG
+    rng = np.random.RandomState(3)
+    rgb_u8 = rng.randint(0, 256, (2, 32, 64, 3)).astype(np.uint8)
+    rgbs = jnp.asarray(rgb_u8.astype(np.float32) / 255.0)
+    persp = PerspectiveDepthNet(stage_sizes=(1, 1, 1, 1),
+                                widths=(8, 16, 16, 32), decoder_width=16)
+    base = PanoBaselineNet(widths=(8, 16, 16, 32))
+    pp = persp.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    bp = base.init(jax.random.PRNGKey(1), jnp.zeros((1, 32, 64, 3)))
+
+    outs = {}
+    for mode in ("f32", "packed"):
+        full, _, _ = build_batched_e2e(
+            persp, pp, tiny_cfg, view_width=64, base_model=base,
+            base_params=bp, base_w=64, extract_dtype=mode)
+        out_u16, _ = full(rgbs)
+        outs[mode] = np.asarray(out_u16).astype(np.int32)
+    # uint8 streamed input must also hit the pack-direct path
+    full, _, _ = build_batched_e2e(
+        persp, pp, tiny_cfg, view_width=64, base_model=base,
+        base_params=bp, base_w=64, extract_dtype="packed")
+    out_u8_in, _ = full(jnp.asarray(rgb_u8))
+    np.testing.assert_array_equal(np.asarray(out_u8_in), outs["packed"])
+    assert np.abs(outs["f32"] - outs["packed"]).max() <= 2
