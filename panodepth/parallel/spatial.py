@@ -9,10 +9,16 @@ XLA partition the rolls), this is an explicit ``shard_map`` program: the
 collective schedule is visible and controllable.
 
 The azimuth seam keeps the reference's flat-index semantics
-(:func:`panodepth.fusion.lap4_refwrap`): the halo column crossing the seam
-(shard 0's left edge, last shard's right edge) is row-shifted by one, which
-we apply *before* sending, so each iteration needs exactly one
-ppermute-pair per direction.
+(:func:`panodepth.fusion.lap4_refwrap`): the halo columns crossing the seam
+(shard 0's left edge, last shard's right edge) are row-shifted by one, which
+we apply *before* sending — the flat-index wrap is a uniform row roll for
+any crossing block, so the shifted representation preserves both intra-halo
+adjacency and the halo/owned boundary semantics exactly.
+
+``halo=k`` temporal blocking exchanges k-wide halos and runs k iterations
+locally between exchanges (k-fold fewer collectives, bit-exact interior:
+the stale-edge corruption front advances one column per iteration and is
+discarded with the halo).
 """
 
 from __future__ import annotations
@@ -30,15 +36,31 @@ except ImportError:  # pragma: no cover - older jax
 
 
 def jacobi_spatial(buf, target, covered, iterations, step, reg, mesh: Mesh,
-                   axis: str = "sp"):
+                   axis: str = "sp", halo: int = 1):
     """Width-sharded Jacobi, numerics identical to ``fusion.jacobi``.
 
     ``buf``/``target``/``covered`` are (H, W) with W divisible by the mesh
     axis size.  Returns the relaxed (H, W) buffer.
+
+    ``halo`` is the temporal-blocking depth: a ``halo``-column exchange
+    buys ``halo`` locally-fused iterations (the corruption front from the
+    stale halo edge advances one column per iteration, so the owned
+    interior stays *bit-exact*), cutting ppermute count — the dominant
+    ICI latency term — by ``halo``x at the cost of ``2*halo`` redundant
+    stencil columns per shard per iteration.  ``halo=1`` is the naive
+    exchange-every-iteration schedule.
     """
     n = mesh.shape[axis]
     one_minus_reg = 1.0 - reg
     covf = covered.astype(jnp.float32)
+    k = max(1, int(halo))
+    w_local = buf.shape[1] // n
+    if k > w_local:
+        k = w_local
+    # static block sizes: [k, k, ..., remainder]
+    blocks = [k] * (iterations // k)
+    if iterations % k:
+        blocks.append(iterations % k)
 
     fwd = [(i, (i + 1) % n) for i in range(n)]   # send right
     bwd = [(i, (i - 1) % n) for i in range(n)]   # send left
@@ -46,34 +68,61 @@ def jacobi_spatial(buf, target, covered, iterations, step, reg, mesh: Mesh,
     def local(B, tgt, cov):
         idx = jax.lax.axis_index(axis)
 
-        def body(_, Bk):
-            # halo to send right: my last column; crossing the global seam
-            # (from shard n-1 to shard 0) it must arrive shifted DOWN one
-            # row less... the reference's x=-1 tap reads (row-1, W-1), so
-            # shard 0's left halo is the last shard's last column rolled +1
-            send_r = Bk[:, -1:]
-            send_r_seam = jnp.roll(send_r, 1, axis=0)
-            send_r = jnp.where(idx == n - 1, send_r_seam, send_r)
+        def exchange(X, width):
+            """width-column halos from both ring neighbors, with the seam
+            row-shift applied before sending: the reference's flat-index
+            wrap maps any x<0 tap to (row-1, W+x) and any x>=W tap to
+            (row+1, x-W) (fusion.lap4_refwrap), a uniform +-1 row roll of
+            the whole crossing block — so intra-block adjacency and the
+            halo/owned boundary both keep exact reference semantics."""
+            send_r = X[:, -width:]
+            send_r = jnp.where(idx == n - 1,
+                               jnp.roll(send_r, 1, axis=0), send_r)
             left_halo = jax.lax.ppermute(send_r, axis, fwd)
-
-            # halo to send left: my first column; crossing the seam (from
-            # shard 0 to shard n-1) the x=W tap reads (row+1, 0)
-            send_l = Bk[:, :1]
-            send_l_seam = jnp.roll(send_l, -1, axis=0)
-            send_l = jnp.where(idx == 0, send_l_seam, send_l)
+            send_l = X[:, :width]
+            send_l = jnp.where(idx == 0,
+                               jnp.roll(send_l, -1, axis=0), send_l)
             right_halo = jax.lax.ppermute(send_l, axis, bwd)
+            return jnp.concatenate([left_halo, X, right_halo], axis=1)
 
-            ext = jnp.concatenate([left_halo, Bk, right_halo], axis=1)
+        # targets/coverage are iteration-invariant: exchange their halos
+        # ONCE for the whole schedule (buf halos go per block)
+        tgt_e = exchange(tgt, k) if k > 1 else tgt
+        cov_e = exchange(cov, k) if k > 1 else cov
+
+        def step_ext(Bk, tgt_k, cov_k):
+            """One Jacobi update over an extended-width buffer; op order
+            mirrors fusion.jacobi exactly (bit-equality)."""
+            pad = jnp.pad(Bk, ((0, 0), (1, 1)), mode="edge")
             lap = Bk - 0.25 * (
-                ext[:, :-2] + ext[:, 2:]
+                pad[:, :-2] + pad[:, 2:]
                 + jnp.roll(Bk, 1, axis=0) + jnp.roll(Bk, -1, axis=0)
             )
-            upd = Bk + (tgt - lap) * step
+            upd = Bk + (tgt_k - lap) * step
             upd = upd * one_minus_reg + Bk * reg
             upd = jnp.clip(upd, 0.0, 1.0)
-            return jnp.where(cov > 0, upd, Bk)
+            return jnp.where(cov_k > 0, upd, Bk)
 
-        return jax.lax.fori_loop(0, iterations, body, B)
+        if k == 1:
+            def body1(_, Bk):
+                ext = exchange(Bk, 1)
+                lap = Bk - 0.25 * (
+                    ext[:, :-2] + ext[:, 2:]
+                    + jnp.roll(Bk, 1, axis=0) + jnp.roll(Bk, -1, axis=0)
+                )
+                upd = Bk + (tgt - lap) * step
+                upd = upd * one_minus_reg + Bk * reg
+                upd = jnp.clip(upd, 0.0, 1.0)
+                return jnp.where(cov > 0, upd, Bk)
+
+            return jax.lax.fori_loop(0, iterations, body1, B)
+
+        for bs in blocks:  # few blocks: iterations/halo graph repetitions
+            ext = exchange(B, k)
+            body = lambda _, Bk: step_ext(Bk, tgt_e, cov_e)
+            ext = jax.lax.fori_loop(0, bs, body, ext)
+            B = ext[:, k:-k]
+        return B
 
     spec = P(None, axis)
     fn = shard_map(local, mesh=mesh, in_specs=(spec, spec, spec),
@@ -82,9 +131,15 @@ def jacobi_spatial(buf, target, covered, iterations, step, reg, mesh: Mesh,
 
 
 def fuse_spatial(emap, pmaps, plan, mesh: Mesh, axis: str = "sp",
-                 abcd=None):
-    """Full multiresolution fusion with the width-sharded relaxation."""
+                 abcd=None, halo: int = 1):
+    """Full multiresolution fusion with the width-sharded relaxation.
+
+    ``halo`` > 1 enables temporal blocking (see :func:`jacobi_spatial`):
+    the 200/100/50 schedules at ``halo=10`` run 20/10/5 halo exchanges per
+    level instead of 200/100/50 — the ICI-latency amortization knob for
+    real multi-chip runs (bit-exact either way)."""
     from ..fusion import fuse
 
-    relax = functools.partial(jacobi_spatial, mesh=mesh, axis=axis)
+    relax = functools.partial(jacobi_spatial, mesh=mesh, axis=axis,
+                              halo=halo)
     return fuse(emap, pmaps, plan, jacobi_fn=relax, abcd=abcd)

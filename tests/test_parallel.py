@@ -148,3 +148,41 @@ def test_fuse_spatial_matches(tiny_cfg, tiny_scene):
     out_ref, _ = fusion.fuse(emap, pmaps, plan)
     out_shd, _ = fuse_spatial(emap, pmaps, plan, mesh)
     np.testing.assert_array_equal(np.asarray(out_ref), np.asarray(out_shd))
+
+
+def test_jacobi_spatial_temporal_blocking_bit_exact():
+    """halo=k exchanges k-wide halos and fuses k iterations locally; the
+    owned interior must stay bit-identical to the per-iteration schedule
+    (and to the single-device stencil), including the seam row-shift and
+    a non-dividing remainder block."""
+    from jax.sharding import Mesh
+    from panodepth import fusion
+    from panodepth.parallel.spatial import jacobi_spatial
+
+    rng = np.random.RandomState(4)
+    h, w = 64, 128
+    buf = jnp.asarray(rng.uniform(0, 1, (h, w)).astype(np.float32))
+    tgt = jnp.asarray(rng.normal(0, 0.01, (h, w)).astype(np.float32))
+    cov = jnp.zeros((h, w), bool).at[6:58, :].set(True)
+    mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(1, 4), ("dp", "sp"))
+    ref = np.asarray(jax.jit(
+        lambda b, t, c: fusion.jacobi(b, t, c, 30, 0.5, 1e-4))(buf, tgt, cov))
+    for halo in (2, 5, 7, 30, 100):  # 7: remainder block; 100: clamps to 32
+        shd = np.asarray(jax.jit(
+            lambda b, t, c: jacobi_spatial(b, t, c, 30, 0.5, 1e-4, mesh,
+                                           halo=halo))(buf, tgt, cov))
+        np.testing.assert_array_equal(ref, shd, err_msg=f"halo={halo}")
+
+
+def test_fuse_spatial_halo_matches(tiny_cfg, tiny_scene):
+    from jax.sharding import Mesh
+    from panodepth import fusion
+    from panodepth.parallel.spatial import fuse_spatial
+
+    plan = fusion.build_fusion_plan(tiny_cfg)
+    emap = jnp.asarray(tiny_scene["emap"])
+    pmaps = jnp.asarray(tiny_scene["pmaps"])
+    mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(1, 4), ("dp", "sp"))
+    out_ref, _ = fusion.fuse(emap, pmaps, plan)
+    out_shd, _ = fuse_spatial(emap, pmaps, plan, mesh, halo=10)
+    np.testing.assert_array_equal(np.asarray(out_ref), np.asarray(out_shd))
