@@ -121,7 +121,7 @@ def main(argv=None) -> int:
                 extract_rgb_views=not args.no_extract, pmap_ext=args.pmap_ext,
                 limit=args.limit, include=args.include, exclude=args.exclude,
                 profile=args.profile, batch_size=args.batch_size,
-                stream=args.stream,
+                stream=args.stream, jacobi=args.jacobi,
             )
     return 0
 

@@ -498,6 +498,7 @@ def run_batch(
     manifest: bool = True,
     batch_size: int = 1,
     stream: str = "auto",
+    jacobi: str = "auto",
 ) -> List[pmetrics.Metrics]:
     """Batch driver (CreateDepthPanoramas parity, Main.cpp:329-689).
 
@@ -570,7 +571,8 @@ def run_batch(
 
     if batch_size > 1:
         results = merge_many(todo, cfg, batch_size=batch_size, log=log,
-                             profile=profile, stream_u16=stream)
+                             profile=profile, stream_u16=stream,
+                             jacobi_kind=jacobi)
         for it, res in zip(todo, results):
             if res is None:
                 quarantined.append({"name": it["raw"], "error": "load/merge"})
@@ -581,7 +583,8 @@ def run_batch(
             i, raw = it["index"], it["raw"]
             try:
                 res = merge_depth_maps(it["baseline"], it["pmaps"], it["out"],
-                                       cfg, it["gt"], profile=profile)
+                                       cfg, it["gt"], profile=profile,
+                                       jacobi_kind=jacobi)
             except (FileNotFoundError, ValueError, OSError) as e:
                 log(f"{i}/{len(rgb_files)} FAILED ({e}); quarantined, "
                     "continuing")
