@@ -110,6 +110,7 @@ def main(argv=None) -> int:
                 args.persp_ckpt, cfg, baseline_ckpt=args.baseline_ckpt,
                 baseline_folder=args.baseline_folder, dataset=args.dataset,
                 view_width=args.view_width, limit=args.limit,
+                include=args.include, exclude=args.exclude,
                 profile=args.profile, batch_size=args.batch_size,
                 stream=args.stream, jacobi=args.jacobi,
             )

@@ -278,7 +278,8 @@ def run_batch_e2e(rgb_folder: str, gt_folder: str, result_folder: str,
                   persp_ckpt: str, cfg: MergeConfig = MergeConfig(),
                   baseline_ckpt=None, baseline_folder=None,
                   dataset: str = "matterport", view_width=None,
-                  limit=None, profile: bool = False, batch_size: int = 1,
+                  limit=None, include=None, exclude=None,
+                  profile: bool = False, batch_size: int = 1,
                   stream: str = "auto", jacobi: str = "auto", log=print):
     """Fully on-device batch: RGB -> models -> registration -> fusion.
 
@@ -336,6 +337,10 @@ def run_batch_e2e(rgb_folder: str, gt_folder: str, result_folder: str,
         jacobi_kind=jacobi)
 
     rgb_files = pio.list_images(rgb_folder)
+    if include:  # Main.cpp:357-370 "only do some" filters
+        rgb_files = [f for f in rgb_files if any(s in f for s in include)]
+    if exclude:  # Main.cpp:388-407 "skip certain cases"
+        rgb_files = [f for f in rgb_files if not any(s in f for s in exclude)]
     if limit is not None:
         rgb_files = rgb_files[:limit]
     os.makedirs(result_folder, exist_ok=True)
