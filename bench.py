@@ -136,8 +136,12 @@ def bench_e2e() -> None:
         fn, _, _ = build_batched_e2e(
             persp_model, persp_params, cfg, view_width=vw,
             base_model=base_model, base_params=base_params, base_w=bw)
-        rgbs = jnp.asarray(
-            rng.rand(batch, 1024, 2048, 3).astype(np.float32))
+        # uint8 input, as the production CLI streams it on TPU (--stream
+        # auto): extract_dtype="auto" then picks the packed-u32 gather
+        # table, which is only exact (and only auto-enabled) for 8-bit
+        # sources
+        rgbs = jnp.asarray(rng.randint(
+            0, 256, (batch, 1024, 2048, 3)).astype(np.uint8))
         sync(fn(rgbs)[0])
 
         def run():

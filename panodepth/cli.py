@@ -72,6 +72,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="transfer integer-source inputs to the device in "
                         "their native width (u8/u16) and normalize there; "
                         "auto = TPU only (1 f32 ulp caveat, see merge_many)")
+    p.add_argument("--extract-dtype", default="auto",
+                   choices=["auto", "packed", "bf16", "f32"],
+                   help="on-device mode view-extraction gather table: "
+                        "packed u32 (fastest, exact for 8-bit sources but "
+                        "quantizes wider ones), bf16, or f32; auto = packed "
+                        "on TPU for streamed uint8 inputs, f32 otherwise")
     p.add_argument("--debug-nans", action="store_true",
                    help="abort on the first NaN produced inside any jitted "
                         "graph (jax_debug_nans; SURVEY.md section 5 — the "
@@ -113,6 +119,7 @@ def main(argv=None) -> int:
                 include=args.include, exclude=args.exclude,
                 profile=args.profile, batch_size=args.batch_size,
                 stream=args.stream, jacobi=args.jacobi,
+                extract_dtype=args.extract_dtype,
             )
         else:
             run_batch(

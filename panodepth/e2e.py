@@ -55,6 +55,16 @@ def _as01_img(x):
     return x
 
 
+def _resolve_extract_dtype(mode: str, dtype, on_tpu: bool) -> str:
+    """"auto" resolves per traced input dtype: the packed-u32 gather table
+    only where it is exact (uint8 sources, on TPU where the bandwidth win
+    exists); >8-bit inputs (16-bit PNG, PFM) keep the full-precision f32
+    path rather than being silently quantized to 8 bits per channel."""
+    if mode == "auto":
+        return "packed" if on_tpu and dtype == jnp.uint8 else "f32"
+    return mode
+
+
 def full_pipeline(rgb, persp_model: PerspectiveDepthNet, persp_params,
                   base_model: Optional[PanoBaselineNet] = None,
                   base_params=None, baseline=None,
@@ -178,11 +188,15 @@ def build_batched_e2e(persp_model, persp_params, cfg: MergeConfig,
     bound.  "packed" gathers one u32 per bilinear tap from a
     :func:`..ops.sampling.pack_rgb_u32` table — a quarter of the f32
     bytes and one gather instead of a 3-channel one (12.1 -> 4.7 ms/pano
-    measured on the v5e), *exact* for 8-bit sources; "bf16" halves the
-    bytes instead (6.4 ms/pano, ~8-bit mantissa).  The baseline-CNN
-    resize runs in bf16 under either (both CNNs cast to bf16 internally
-    anyway).  "auto" = packed on TPU, f32 elsewhere.  Registration and
-    fusion are untouched (f32 everywhere).
+    measured on the v5e), *exact* for 8-bit sources but quantizing for
+    anything wider; "bf16" halves the bytes instead (~8-bit mantissa,
+    6.4 ms/pano).  The baseline-CNN resize runs in bf16 under either
+    (both CNNs cast to bf16 internally anyway).  "auto" = packed on TPU
+    when the traced RGB input is uint8 (streamed 8-bit sources, where
+    packing is exact), f32 otherwise — so >8-bit panoramas (16-bit PNG,
+    PFM) are never silently quantized; pass "packed" explicitly to trade
+    precision for bandwidth on such sources.  Registration and fusion
+    are untouched (f32 everywhere).
     """
     from .ops.projection import extract_view
     from .pipeline import _resolve_jacobi
@@ -199,14 +213,13 @@ def build_batched_e2e(persp_model, persp_params, cfg: MergeConfig,
         grouped.setdefault(s, []).append(i)
     ngroups = list(grouped.items())
 
-    ex_mode = extract_dtype
-    if ex_mode == "auto":
-        ex_mode = "packed" if jax.default_backend() == "tpu" else "f32"
+    on_tpu = jax.default_backend() == "tpu"
 
     def models_stage(rgbs, baselines=None):
         from .ops.sampling import (pack_rgb_u32,
                                    sample_equirect_bilinear_packed)
 
+        ex_mode = _resolve_extract_dtype(extract_dtype, rgbs.dtype, on_tpu)
         rgbs01 = _as01_img(rgbs)
         if baselines is None:
             rb_src = (rgbs01 if ex_mode == "f32"
@@ -280,7 +293,8 @@ def run_batch_e2e(rgb_folder: str, gt_folder: str, result_folder: str,
                   dataset: str = "matterport", view_width=None,
                   limit=None, include=None, exclude=None,
                   profile: bool = False, batch_size: int = 1,
-                  stream: str = "auto", jacobi: str = "auto", log=print):
+                  stream: str = "auto", jacobi: str = "auto",
+                  extract_dtype: str = "auto", log=print):
     """Fully on-device batch: RGB -> models -> registration -> fusion.
 
     The perspective model is mandatory; the panoramic baseline comes either
@@ -308,6 +322,9 @@ def run_batch_e2e(rgb_folder: str, gt_folder: str, result_folder: str,
     it only on TPU where the tunnel transfer dominates; the on-device
     k/255 and k/65535 can differ from the host's by 1 f32 ulp (same
     caveat as merge_many's stream_u16).
+
+    ``extract_dtype`` — forwarded to :func:`build_batched_e2e` (view-
+    extraction gather representation; see there for the precision rules).
     """
     import os
     import time
@@ -334,15 +351,10 @@ def run_batch_e2e(rgb_folder: str, gt_folder: str, result_folder: str,
     jit_full, jit_models, jit_fuse = build_batched_e2e(
         persp_model, persp_params, cfg, view_width=view_width,
         base_model=base_model, base_params=base_params, base_w=base_w,
-        jacobi_kind=jacobi)
+        jacobi_kind=jacobi, extract_dtype=extract_dtype)
 
-    rgb_files = pio.list_images(rgb_folder)
-    if include:  # Main.cpp:357-370 "only do some" filters
-        rgb_files = [f for f in rgb_files if any(s in f for s in include)]
-    if exclude:  # Main.cpp:388-407 "skip certain cases"
-        rgb_files = [f for f in rgb_files if not any(s in f for s in exclude)]
-    if limit is not None:
-        rgb_files = rgb_files[:limit]
+    rgb_files = pio.filter_files(pio.list_images(rgb_folder),
+                                 include, exclude, limit)
     os.makedirs(result_folder, exist_ok=True)
     log(f"[run_batch_e2e] {len(rgb_files)} panoramas, on-device models, "
         f"batch {batch_size}"

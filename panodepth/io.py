@@ -174,6 +174,22 @@ def list_images(folder: str) -> List[str]:
     return names
 
 
+def filter_files(files: List[str], include=None, exclude=None,
+                 limit=None) -> List[str]:
+    """Runtime form of the reference's compile-time "only do some / skip
+    certain cases" blocks (Main.cpp:357-407): substring match on the full
+    path, include then exclude, then head-``limit``.  Shared by the
+    file-based and on-device batch drivers so their filter semantics
+    cannot drift."""
+    if include:
+        files = [f for f in files if any(s in f for s in include)]
+    if exclude:
+        files = [f for f in files if not any(s in f for s in exclude)]
+    if limit is not None:
+        files = files[:limit]
+    return files
+
+
 def raw_name(path: str) -> str:
     """Filename without directory and final extension (Main.cpp:452-454)."""
     base = os.path.basename(path)

@@ -84,17 +84,15 @@ def rotate_equirect(img, yaw=0.0, pitch=0.0, roll=0.0, out_shape=None):
     return sample_equirect_bilinear(img, src_azi, src_zen)
 
 
-def sample_equirect_bilinear(img, azimuth, zenith):
-    """Bilinear equirect sampling with azimuth wraparound (stage-A RGB warp).
+def _bilinear_coords(h, w, azimuth, zenith):
+    """Shared tap coordinates for the bilinear equirect samplers.
 
-    ``img`` is (H, W) or (H, W, C); zenith clamps at the poles, azimuth wraps.
-    Texel centers follow the same (w-1)/(h-1) convention as the nearest path
-    so the two modes agree at exact pixel positions.
+    Azimuth wraps at the seam, zenith clamps at the poles; texel centers
+    follow the same (w-1)/(h-1) convention as the nearest path so the two
+    modes agree at exact pixel positions.  These conventions are
+    parity-load-bearing — both samplers must tap identically.
+    Returns (x0, x1, y0, y1, wx, wy) with the weights shaped (..., 1).
     """
-    squeeze = img.ndim == 2
-    if squeeze:
-        img = img[..., None]
-    h, w = img.shape[:2]
     fx = (azimuth % TWO_PI) / TWO_PI * (w - 1)
     fy = jnp.clip(zenith / np.pi * (h - 1), 0.0, h - 1)
     x0 = jnp.floor(fx).astype(jnp.int32)
@@ -105,6 +103,20 @@ def sample_equirect_bilinear(img, azimuth, zenith):
     x1 = (x0 + 1) % w  # azimuth wraps at the seam
     y0 = jnp.clip(y0, 0, h - 1)
     y1 = jnp.clip(y0 + 1, 0, h - 1)
+    return x0, x1, y0, y1, wx, wy
+
+
+def sample_equirect_bilinear(img, azimuth, zenith):
+    """Bilinear equirect sampling with azimuth wraparound (stage-A RGB warp).
+
+    ``img`` is (H, W) or (H, W, C); zenith clamps at the poles, azimuth wraps
+    (see :func:`_bilinear_coords`).
+    """
+    squeeze = img.ndim == 2
+    if squeeze:
+        img = img[..., None]
+    h, w = img.shape[:2]
+    x0, x1, y0, y1, wx, wy = _bilinear_coords(h, w, azimuth, zenith)
     top = img[y0, x0] * (1 - wx) + img[y0, x1] * wx
     bot = img[y1, x0] * (1 - wx) + img[y1, x1] * wx
     out = top * (1 - wy) + bot * wy
@@ -136,16 +148,7 @@ def sample_equirect_bilinear_packed(packed, azimuth, zenith):
     either way).
     """
     h, w = packed.shape
-    fx = (azimuth % TWO_PI) / TWO_PI * (w - 1)
-    fy = jnp.clip(zenith / np.pi * (h - 1), 0.0, h - 1)
-    x0 = jnp.floor(fx).astype(jnp.int32)
-    y0 = jnp.floor(fy).astype(jnp.int32)
-    wx = (fx - x0)[..., None]
-    wy = (fy - y0)[..., None]
-    x0 = jnp.clip(x0, 0, w - 1)
-    x1 = (x0 + 1) % w  # azimuth wraps at the seam
-    y0 = jnp.clip(y0, 0, h - 1)
-    y1 = jnp.clip(y0 + 1, 0, h - 1)
+    x0, x1, y0, y1, wx, wy = _bilinear_coords(h, w, azimuth, zenith)
 
     def tap(yy, xx):
         v = packed[yy, xx]

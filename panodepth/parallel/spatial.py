@@ -87,8 +87,8 @@ def jacobi_spatial(buf, target, covered, iterations, step, reg, mesh: Mesh,
 
         # targets/coverage are iteration-invariant: exchange their halos
         # ONCE for the whole schedule (buf halos go per block)
-        tgt_e = exchange(tgt, k) if k > 1 else tgt
-        cov_e = exchange(cov, k) if k > 1 else cov
+        tgt_e = exchange(tgt, k)
+        cov_e = exchange(cov, k)
 
         def step_ext(Bk, tgt_k, cov_k):
             """One Jacobi update over an extended-width buffer; op order
@@ -104,16 +104,12 @@ def jacobi_spatial(buf, target, covered, iterations, step, reg, mesh: Mesh,
             return jnp.where(cov_k > 0, upd, Bk)
 
         if k == 1:
+            # the same update as the blocked path (exchange, one step_ext,
+            # discard the 1-wide halo), rolled into a single fori_loop so
+            # the graph isn't repeated `iterations` times — bit-equal to
+            # the block schedule; the update formula lives only in step_ext
             def body1(_, Bk):
-                ext = exchange(Bk, 1)
-                lap = Bk - 0.25 * (
-                    ext[:, :-2] + ext[:, 2:]
-                    + jnp.roll(Bk, 1, axis=0) + jnp.roll(Bk, -1, axis=0)
-                )
-                upd = Bk + (tgt - lap) * step
-                upd = upd * one_minus_reg + Bk * reg
-                upd = jnp.clip(upd, 0.0, 1.0)
-                return jnp.where(cov > 0, upd, Bk)
+                return step_ext(exchange(Bk, 1), tgt_e, cov_e)[:, 1:-1]
 
             return jax.lax.fori_loop(0, iterations, body1, B)
 

@@ -513,15 +513,8 @@ def run_batch(
     (Main.cpp:357-407).  A ``manifest.json`` records completed and
     quarantined items plus timing for elastic resume.
     """
-    rgb_files = pio.list_images(rgb_folder)
-    if include:
-        rgb_files = [f for f in rgb_files
-                     if any(s in f for s in include)]
-    if exclude:
-        rgb_files = [f for f in rgb_files
-                     if not any(s in f for s in exclude)]
-    if limit is not None:
-        rgb_files = rgb_files[:limit]
+    rgb_files = pio.filter_files(pio.list_images(rgb_folder),
+                                 include, exclude, limit)
     log(f"[run_batch] {len(rgb_files)} RGB panoramas")
     layout = cfg.layout
 

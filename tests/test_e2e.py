@@ -211,3 +211,33 @@ def test_batched_e2e_packed_extraction_matches_f32():
     out_u8_in, _ = full(jnp.asarray(rgb_u8))
     np.testing.assert_array_equal(np.asarray(out_u8_in), outs["packed"])
     assert np.abs(outs["f32"] - outs["packed"]).max() <= 2
+
+
+def test_resolve_extract_dtype_auto_is_exact():
+    """'auto' picks the packed table only where packing is exact: uint8
+    sources on TPU.  Wider sources (16-bit PNG, PFM floats) must never be
+    silently quantized to 8 bits per channel; explicit modes pass through."""
+    from panodepth.e2e import _resolve_extract_dtype as r
+
+    assert r("auto", jnp.uint8, on_tpu=True) == "packed"
+    for wide in (jnp.uint16, jnp.float32):
+        assert r("auto", wide, on_tpu=True) == "f32"
+    for d in (jnp.uint8, jnp.uint16, jnp.float32):
+        assert r("auto", d, on_tpu=False) == "f32"
+        for explicit in ("packed", "bf16", "f32"):
+            assert r(explicit, d, on_tpu=True) == explicit
+
+
+def test_filter_files_shared_semantics():
+    """The include/exclude/limit filter shared by run_batch and
+    run_batch_e2e (Main.cpp:357-407 runtime form)."""
+    from panodepth.io import filter_files
+
+    files = [f"/d/pano_{n}.jpg" for n in ("a1", "a2", "b1", "b2")]
+    assert filter_files(files) == files
+    assert filter_files(files, include=["_a"]) == files[:2]
+    assert filter_files(files, include=["a1", "b1"]) == [files[0], files[2]]
+    assert filter_files(files, exclude=["_b"]) == files[:2]
+    assert filter_files(files, include=["_a"], exclude=["2"]) == [files[0]]
+    assert filter_files(files, limit=3) == files[:3]
+    assert filter_files(files, include=["_b"], limit=1) == [files[2]]
