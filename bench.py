@@ -124,8 +124,13 @@ def bench_e2e() -> None:
     from panodepth.e2e import build_batched_e2e, load_model_checkpoint
 
     cfg = MergeConfig(out_width=2048)
-    persp_model, persp_params, persp_arch = load_model_checkpoint(persp)
-    base_model, base_params, base_arch = load_model_checkpoint(base)
+    # bf16 GroupNorms on TPU, as the production CLI defaults (--infer-norm
+    # auto): +24% perspective-CNN throughput, no measured accuracy change
+    nd = jnp.bfloat16 if jax.default_backend() == "tpu" else None
+    persp_model, persp_params, persp_arch = load_model_checkpoint(
+        persp, norm_dtype=nd)
+    base_model, base_params, base_arch = load_model_checkpoint(
+        base, norm_dtype=nd)
     bw = base_arch.get("pano_width", 512)
     # match the CLI's default: perspective CNN at its training resolution
     vw = persp_arch.get("view_size", 512)

@@ -78,6 +78,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "packed u32 (fastest, exact for 8-bit sources but "
                         "quantizes wider ones), bf16, or f32; auto = packed "
                         "on TPU for streamed uint8 inputs, f32 otherwise")
+    p.add_argument("--infer-norm", default="auto",
+                   choices=["auto", "f32", "bf16"],
+                   help="on-device mode GroupNorm compute dtype: bf16 "
+                        "halves the norms' HBM traffic (+24% CNN "
+                        "throughput, no measured accuracy change); auto = "
+                        "bf16 on TPU, f32 elsewhere")
     p.add_argument("--debug-nans", action="store_true",
                    help="abort on the first NaN produced inside any jitted "
                         "graph (jax_debug_nans; SURVEY.md section 5 — the "
@@ -120,6 +126,7 @@ def main(argv=None) -> int:
                 profile=args.profile, batch_size=args.batch_size,
                 stream=args.stream, jacobi=args.jacobi,
                 extract_dtype=args.extract_dtype,
+                infer_norm=args.infer_norm,
             )
         else:
             run_batch(

@@ -107,11 +107,17 @@ def full_pipeline(rgb, persp_model: PerspectiveDepthNet, persp_params,
     return out_u16, abcd, baseline, pmaps
 
 
-def load_model_checkpoint(ckpt_path: str):
+def load_model_checkpoint(ckpt_path: str, norm_dtype=None):
     """Rebuild a model + params from a train_cli checkpoint + arch sidecar.
 
     Looks for ``<model>.config.json`` next to the checkpoint directory (the
     sidecar train_cli writes).  Returns (model, params, arch_dict).
+
+    ``norm_dtype`` overrides the GroupNorm compute dtype (params are f32
+    either way, so any checkpoint loads).  ``jnp.bfloat16`` halves the
+    normalization layers' HBM traffic — the nets' actual TPU bottleneck —
+    at no measured accuracy cost (held-out RMSE 0.029440 f32 vs 0.029437
+    bf16 on the zoo perspective weights); the e2e drivers pass it on TPU.
     """
     import json
     import os
@@ -129,21 +135,23 @@ def load_model_checkpoint(ckpt_path: str):
     from .models.hohonet import HorizonDepthNet
 
     kind = arch["model"]
+    kw = {} if norm_dtype is None else {"norm_dtype": norm_dtype}
     if kind == "perspective":
         model = PerspectiveDepthNet(
             widths=tuple(max(8, int(w * s)) for w in (64, 128, 256, 512)),
-            decoder_width=max(16, int(128 * s)))
+            decoder_width=max(16, int(128 * s)), **kw)
         sample = jnp.zeros((1, arch.get("view_size", 256),
                             arch.get("view_size", 256), 3))
     elif kind == "hohonet":
         model = HorizonDepthNet(
             widths=tuple(max(8, int(w * s)) for w in (32, 64, 128, 256)),
-            horizon_dim=max(32, int(256 * s)))
+            horizon_dim=max(32, int(256 * s)), **kw)
         pw = arch.get("pano_width", 512)
         sample = jnp.zeros((1, pw // 2, pw, 3))
     else:
         model = PanoBaselineNet(
-            widths=tuple(max(8, int(w * s)) for w in (32, 64, 128, 256)))
+            widths=tuple(max(8, int(w * s)) for w in (32, 64, 128, 256)),
+            **kw)
         pw = arch.get("pano_width", 512)
         sample = jnp.zeros((1, pw // 2, pw, 3))
 
@@ -294,7 +302,8 @@ def run_batch_e2e(rgb_folder: str, gt_folder: str, result_folder: str,
                   limit=None, include=None, exclude=None,
                   profile: bool = False, batch_size: int = 1,
                   stream: str = "auto", jacobi: str = "auto",
-                  extract_dtype: str = "auto", log=print):
+                  extract_dtype: str = "auto", infer_norm: str = "auto",
+                  log=print):
     """Fully on-device batch: RGB -> models -> registration -> fusion.
 
     The perspective model is mandatory; the panoramic baseline comes either
@@ -325,6 +334,11 @@ def run_batch_e2e(rgb_folder: str, gt_folder: str, result_folder: str,
 
     ``extract_dtype`` — forwarded to :func:`build_batched_e2e` (view-
     extraction gather representation; see there for the precision rules).
+
+    ``infer_norm`` — "auto"/"f32"/"bf16": GroupNorm compute dtype for the
+    CNNs (see :func:`load_model_checkpoint`).  "auto" = bf16 on TPU (where
+    the norms' HBM traffic is the CNN bottleneck: +24% perspective-net
+    throughput, no measured accuracy change), f32 elsewhere.
     """
     import os
     import time
@@ -333,7 +347,11 @@ def run_batch_e2e(rgb_folder: str, gt_folder: str, result_folder: str,
     from . import io as pio
     from . import metrics as pmetrics
 
-    persp_model, persp_params, persp_arch = load_model_checkpoint(persp_ckpt)
+    if infer_norm == "auto":
+        infer_norm = "bf16" if jax.default_backend() == "tpu" else "f32"
+    norm_dtype = jnp.bfloat16 if infer_norm == "bf16" else None
+    persp_model, persp_params, persp_arch = load_model_checkpoint(
+        persp_ckpt, norm_dtype=norm_dtype)
     if view_width is None:
         # run the perspective CNN at its training resolution by default —
         # on the zoo weights this is the difference between 4/6 and 6/6
@@ -343,7 +361,7 @@ def run_batch_e2e(rgb_folder: str, gt_folder: str, result_folder: str,
     base_w = 512
     if baseline_ckpt:
         base_model, base_params, base_arch = load_model_checkpoint(
-            baseline_ckpt)
+            baseline_ckpt, norm_dtype=norm_dtype)
         # fixed-width families (hohonet's column decoder) must run at their
         # training resolution; the 0~1 baseline works at any size downstream
         base_w = base_arch.get("pano_width", 512)

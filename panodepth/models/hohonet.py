@@ -65,6 +65,9 @@ class HorizonDepthNet(nn.Module):
     horizon_dim: int = 256
     attn_blocks: int = 2
     dtype: jnp.dtype = jnp.bfloat16
+    # f32 for training; bf16 at inference halves the normalization layers'
+    # HBM traffic (see PerspectiveDepthNet.norm_dtype)
+    norm_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, rgb):
@@ -75,14 +78,16 @@ class HorizonDepthNet(nn.Module):
                 f"(decoder upsamples H/16 by 16x), got ({h}, {w})")
         x = rgb.astype(self.dtype)
         for width in self.widths:  # -> (B, H/16, W/16, C)
-            x = ResBlock(width, stride=2, dtype=self.dtype)(x)
+            x = ResBlock(width, stride=2, dtype=self.dtype,
+                         norm_dtype=self.norm_dtype)(x)
 
         # height squeeze: strided convs down to one row (HoHoNet's HC block)
         while x.shape[1] > 1:
             s = min(4, x.shape[1])
             x = nn.Conv(self.horizon_dim, (s, 1), (s, 1), use_bias=False,
                         dtype=self.dtype)(x)
-            x = nn.GroupNorm(num_groups=_groups(self.horizon_dim), dtype=jnp.float32)(x)
+            x = nn.GroupNorm(num_groups=_groups(self.horizon_dim),
+                             dtype=self.norm_dtype)(x)
             x = nn.relu(x)
         seq = x[:, 0]  # (B, W/16, C)
 
@@ -98,7 +103,8 @@ class HorizonDepthNet(nn.Module):
             bb, hh, ww, cc = y.shape
             y = jax.image.resize(y, (bb, hh * 2, ww * 2, cc), "nearest")
             y = nn.Conv(width, (3, 3), use_bias=False, dtype=self.dtype)(y)
-            y = nn.GroupNorm(num_groups=_groups(width), dtype=jnp.float32)(y)
+            y = nn.GroupNorm(num_groups=_groups(width),
+                             dtype=self.norm_dtype)(y)
             y = nn.relu(y)
         y = nn.Conv(1, (1, 1), dtype=jnp.float32)(y)
         return nn.sigmoid(y[..., 0])

@@ -46,12 +46,14 @@ class UniFuseBlock(nn.Module):
 
     features: int
     dtype: jnp.dtype = jnp.bfloat16
+    norm_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, equi_feat, cube_feat_equi):
         z = jnp.concatenate([equi_feat, cube_feat_equi], axis=-1)
         z = nn.Conv(self.features, (3, 3), use_bias=False, dtype=self.dtype)(z)
-        z = nn.GroupNorm(num_groups=_groups(self.features), dtype=jnp.float32)(z)
+        z = nn.GroupNorm(num_groups=_groups(self.features),
+                         dtype=self.norm_dtype)(z)
         z = nn.relu(z)
         z = SEGate(self.features, dtype=self.dtype)(z)
         return equi_feat + z
@@ -67,6 +69,9 @@ class PanoBaselineNet(nn.Module):
 
     widths: Sequence[int] = (32, 64, 128, 256)
     dtype: jnp.dtype = jnp.bfloat16
+    # f32 for training; bf16 at inference halves the normalization layers'
+    # HBM traffic (see PerspectiveDepthNet.norm_dtype)
+    norm_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, rgb):
@@ -78,12 +83,15 @@ class PanoBaselineNet(nn.Module):
         equi_skips, cube_skips = [], []
         e, c = x, cube
         for i, width in enumerate(self.widths):
-            e = ResBlock(width, stride=2, dtype=self.dtype)(e)
-            c = ResBlock(width, stride=2, dtype=self.dtype)(c)
+            e = ResBlock(width, stride=2, dtype=self.dtype,
+                         norm_dtype=self.norm_dtype)(e)
+            c = ResBlock(width, stride=2, dtype=self.dtype,
+                         norm_dtype=self.norm_dtype)(c)
             eh, ew = e.shape[1], e.shape[2]
             c6 = c.reshape(b, 6, c.shape[1], c.shape[2], width)
             c2e = jax.vmap(lambda f: cubemap_to_equirect(f, eh, ew))(c6)
-            e = UniFuseBlock(width, dtype=self.dtype)(e, c2e)
+            e = UniFuseBlock(width, dtype=self.dtype,
+                             norm_dtype=self.norm_dtype)(e, c2e)
             equi_skips.append(e)
 
         y = equi_skips[-1]
@@ -92,7 +100,8 @@ class PanoBaselineNet(nn.Module):
             y = jax.image.resize(y, (bb, hh * 2, ww * 2, cc), "nearest")
             y = nn.Conv(skip.shape[-1], (3, 3), use_bias=False,
                         dtype=self.dtype)(y)
-            y = nn.GroupNorm(num_groups=_groups(skip.shape[-1]), dtype=jnp.float32)(y)
+            y = nn.GroupNorm(num_groups=_groups(skip.shape[-1]),
+                             dtype=self.norm_dtype)(y)
             y = nn.relu(y)
             y = y + skip
         bb, hh, ww, cc = y.shape

@@ -143,3 +143,36 @@ def test_params_npz_roundtrip(tmp_path):
         a32 = np.asarray(a, np.float32)
         np.testing.assert_allclose(np.asarray(b), a32,
                                    rtol=2 ** -8, atol=1e-9)
+
+
+def test_norm_dtype_bf16_matches_f32(tiny_perspective):
+    """bf16 GroupNorm inference (the TPU e2e default) loads f32-trained
+    params unchanged and stays close to the f32 reference output across
+    all three families."""
+    from panodepth.models.hohonet import HorizonDepthNet
+
+    model, params = tiny_perspective
+    rng = np.random.RandomState(0)
+
+    def compare(m32, m16, x, params):
+        o32 = np.asarray(jax.jit(m32.apply)(params, x), np.float32)
+        o16 = np.asarray(jax.jit(m16.apply)(params, x), np.float32)
+        scale = max(1e-3, float(np.abs(o32).max()))
+        assert np.abs(o32 - o16).max() / scale < 0.15
+
+    x = jnp.asarray(rng.rand(2, 64, 96, 3).astype(np.float32))
+    compare(model, PerspectiveDepthNet(norm_dtype=jnp.bfloat16, **TINY),
+            x, params)
+
+    widths = (8, 16, 16, 32)
+    pano = PanoBaselineNet(widths=widths)
+    xp = jnp.asarray(rng.rand(1, 32, 64, 3).astype(np.float32))
+    pp = pano.init(jax.random.PRNGKey(1), xp)
+    compare(pano, PanoBaselineNet(widths=widths, norm_dtype=jnp.bfloat16),
+            xp, pp)
+
+    hoho = HorizonDepthNet(widths=widths, horizon_dim=32, attn_blocks=1)
+    ph = hoho.init(jax.random.PRNGKey(2), xp)
+    compare(hoho, HorizonDepthNet(widths=widths, horizon_dim=32,
+                                  attn_blocks=1, norm_dtype=jnp.bfloat16),
+            xp, ph)
