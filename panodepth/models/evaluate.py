@@ -19,7 +19,7 @@ import numpy as np
 
 
 def evaluate(ckpt_path: str, count: int = 16, seed: int = 77_000,
-             align_way: int = 1, batch: int = 4):
+             align_way: int = 1, batch: int = 4, scene_version="v1"):
     import jax
     import jax.numpy as jnp
 
@@ -54,7 +54,7 @@ def evaluate(ckpt_path: str, count: int = 16, seed: int = 77_000,
     while done < count:
         n = min(batch, count - done)
         scenes = synth.stack_scenes(
-            [synth.sample_scene(rng) for _ in range(n)])
+            [synth.sample_scene(rng, scene_version) for _ in range(n)])
         scenes = jax.tree.map(jnp.asarray, scenes)
         if kind == "perspective":
             fovs = jnp.asarray(np.stack(
@@ -77,7 +77,8 @@ def evaluate(ckpt_path: str, count: int = 16, seed: int = 77_000,
         done += n
 
     agg = {k: float(np.mean([r[k] for r in recs])) for k in recs[0]}
-    agg.update(model=kind, ckpt=ckpt_path, count=count, align_way=align_way)
+    agg.update(model=kind, ckpt=ckpt_path, count=count, align_way=align_way,
+               scenes=str(scene_version))
     return agg
 
 
@@ -87,6 +88,8 @@ def main(argv=None) -> int:
     p.add_argument("--count", type=int, default=16)
     p.add_argument("--seed", type=int, default=77_000)
     p.add_argument("--align-way", type=int, default=1, choices=[0, 1, 2])
+    p.add_argument("--scenes", default="v1", choices=["v1", "v2", "mix"],
+                   help="held-out scene distribution (see panodepth.synth)")
     p.add_argument("--platform", default="auto",
                    choices=["auto", "cpu", "tpu"])
     args = p.parse_args(argv)
@@ -95,7 +98,7 @@ def main(argv=None) -> int:
 
         jax.config.update("jax_platforms", args.platform)
     print(json.dumps(evaluate(args.ckpt, args.count, args.seed,
-                              args.align_way)))
+                              args.align_way, scene_version=args.scenes)))
     return 0
 
 

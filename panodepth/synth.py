@@ -33,7 +33,11 @@ from . import geometry
 
 MAX_SPHERES = 6
 MAX_BOXES = 8
-N_OBJ = 1 + MAX_SPHERES + MAX_BOXES  # object 0 is the room shell
+MAX_CYLS = 4
+# object table order: [room shell, spheres, boxes, cylinders] — cylinders
+# come LAST so v1 scenes (cylinders off) keep their original object indices
+N_OBJ = 1 + MAX_SPHERES + MAX_BOXES + MAX_CYLS
+_N_OBJ_V1 = 1 + MAX_SPHERES + MAX_BOXES
 
 METERS_TO_01 = 4000.0 / 65535.0
 
@@ -52,13 +56,65 @@ class Scene(NamedTuple):
     wall_color: np.ndarray   # (6, 3) per-face room albedo
     obj_c1: np.ndarray       # (N_OBJ, 3) texture colors
     obj_c2: np.ndarray       # (N_OBJ, 3)
-    tex_kind: np.ndarray     # (N_OBJ,) int32: 0 solid, 1 checker, 2 stripes, 3 marble
+    tex_kind: np.ndarray     # (N_OBJ,) int32: 0 solid, 1 checker, 2 stripes,
+    #                          3 marble, 4 rings, 5 dots, 6 noise (4-6: v2)
     tex_scale: np.ndarray    # (N_OBJ,)
     ambient: np.ndarray      # () base light level
+    # --- v2 (scene-diversity) fields; v1 scenes carry exact no-op values ---
+    room2_lo: np.ndarray     # (3,) attached second room box (L-shaped union)
+    room2_hi: np.ndarray     # (3,)
+    room2_on: np.ndarray     # () 1.0/0.0
+    cyl_c: np.ndarray        # (MAX_CYLS, 2) vertical cylinder xy centers
+    cyl_r: np.ndarray        # (MAX_CYLS,)
+    cyl_z: np.ndarray        # (MAX_CYLS, 2) z extents (lo, hi)
+    cyl_on: np.ndarray       # (MAX_CYLS,)
+    light_p: np.ndarray      # (3,) point-light position
+    light_i: np.ndarray      # () point-light intensity (0 = headlight only)
+    tex_rot: np.ndarray      # (N_OBJ,) texture rotation about z (radians)
 
 
-def sample_scene(rng: np.random.RandomState) -> Scene:
+def _neutral_v2_fields(room_lo, room_hi):
+    """v2 field values that render bit-identically to the pre-v2 engine."""
+    f32 = np.float32
+    return dict(
+        room2_lo=room_lo.copy(), room2_hi=room_hi.copy(),
+        room2_on=f32(0.0),
+        cyl_c=np.zeros((MAX_CYLS, 2), f32),
+        cyl_r=np.full(MAX_CYLS, 0.05, f32),
+        cyl_z=np.tile(np.array([0.0, 0.1], f32), (MAX_CYLS, 1)),
+        cyl_on=np.zeros(MAX_CYLS, f32),
+        light_p=np.array([0.0, 0.0, 1.0], f32), light_i=f32(0.0),
+        tex_rot=np.zeros(N_OBJ, f32))
+
+
+def _pad_obj(arr, fill):
+    """Pad a per-object table drawn for the v1 object count up to N_OBJ."""
+    pad = np.full((N_OBJ - _N_OBJ_V1,) + arr.shape[1:], fill, arr.dtype)
+    return np.concatenate([arr, pad], axis=0)
+
+
+def sample_scene(rng: np.random.RandomState, version=1) -> Scene:
     """Draw a random indoor-style scene.
+
+    ``version`` selects the scene distribution: 1 (default) is the original
+    convex-room engine — its rng stream and rendered output are unchanged,
+    so committed zoo evals stay reproducible; 2 adds L-shaped rooms,
+    corridors, vertical cylinders, floor-snapped furniture, three more
+    texture families, texture rotation, and a point light; "mix" draws v1
+    with probability 0.35, else v2.
+    """
+    if version in (2, "2", "v2"):
+        return _sample_scene_v2(rng)
+    if version == "mix":
+        return (sample_scene(rng) if rng.rand() < 0.35
+                else _sample_scene_v2(rng))
+    if version not in (1, "1", "v1"):
+        raise ValueError(f"unknown scene version {version!r}")
+    return _sample_scene_v1(rng)
+
+
+def _sample_scene_v1(rng: np.random.RandomState) -> Scene:
+    """The original engine: one convex room, spheres + boxes, 4 textures.
 
     Rooms are 3~9 m across with the camera 1.0~1.8 m above the floor;
     furniture keeps >= 0.45 m clearance from the camera so depth is bounded
@@ -104,14 +160,166 @@ def sample_scene(rng: np.random.RandomState) -> Scene:
     def color():
         return rng.uniform(0.15, 0.95, 3).astype(f32)
 
+    # draw per-object tables at the v1 object count (preserves the v1 rng
+    # stream byte-for-byte), then pad the cylinder slots with constants
     wall_color = np.stack([color() for _ in range(6)])
-    obj_c1 = np.stack([color() for _ in range(N_OBJ)])
-    obj_c2 = np.stack([color() for _ in range(N_OBJ)])
-    tex_kind = rng.randint(0, 4, N_OBJ).astype(np.int32)
-    tex_scale = rng.uniform(0.8, 5.0, N_OBJ).astype(f32)
+    obj_c1 = _pad_obj(np.stack([color() for _ in range(_N_OBJ_V1)]), 0.5)
+    obj_c2 = _pad_obj(np.stack([color() for _ in range(_N_OBJ_V1)]), 0.5)
+    tex_kind = _pad_obj(rng.randint(0, 4, _N_OBJ_V1).astype(np.int32), 0)
+    tex_scale = _pad_obj(rng.uniform(0.8, 5.0, _N_OBJ_V1).astype(f32), 1.0)
     return Scene(room_lo, room_hi, sph_c, sph_r, sph_on, box_lo, box_hi,
                  box_on, wall_color, obj_c1, obj_c2, tex_kind, tex_scale,
-                 np.float32(rng.uniform(0.25, 0.45)))
+                 np.float32(rng.uniform(0.25, 0.45)),
+                 **_neutral_v2_fields(room_lo, room_hi))
+
+
+def _sample_scene_v2(rng: np.random.RandomState) -> Scene:
+    """The diverse engine: corridors, L-shaped two-box rooms, vertical
+    cylinders (columns / floor lamps), floor-snapped furniture, 7 texture
+    families with rotation, and a point light.
+
+    Distance bound: the farthest reachable point (corridor end + attached
+    room) stays under the u16 depth encoding's 16.38 m ceiling.
+    """
+    f32 = np.float32
+    corridor = rng.rand() < 0.25
+    if corridor:
+        long_ax = rng.randint(0, 2)
+        ext = np.empty((2, 2), f32)    # [axis][lo, hi] half-extents
+        ext[long_ax] = rng.uniform(3.5, 7.0, 2)
+        ext[1 - long_ax] = rng.uniform(0.9, 1.8, 2)
+    else:
+        ext = rng.uniform(1.2, 6.0, (2, 2)).astype(f32)
+    floor = -rng.uniform(1.0, 1.8)
+    ceil = rng.uniform(0.8, 3.0)
+    room_lo = np.array([-ext[0, 0], -ext[1, 0], floor], f32)
+    room_hi = np.array([ext[0, 1], ext[1, 1], ceil], f32)
+
+    fields = _neutral_v2_fields(room_lo, room_hi)
+    if rng.rand() < (0.35 if corridor else 0.55):
+        # attach a second room box beyond one vertical face; the doorway is
+        # the shared-face cross-section of the attachment
+        ax = rng.randint(0, 2)
+        sgn = 1 if rng.rand() < 0.5 else -1
+        depth2 = rng.uniform(2.0, 5.0)
+        w2 = rng.uniform(1.5, 5.0)
+        lo2, hi2 = room_lo.copy(), room_hi.copy()
+        face = room_hi[ax] if sgn > 0 else room_lo[ax]
+        if sgn > 0:
+            lo2[ax], hi2[ax] = face - 0.2, face + depth2
+        else:
+            lo2[ax], hi2[ax] = face - depth2, face + 0.2
+        oax = 1 - ax
+        c = rng.uniform(room_lo[oax] + 0.5, room_hi[oax] - 0.5)
+        lo2[oax], hi2[oax] = c - w2 / 2, c + w2 / 2
+        hi2[2] = rng.uniform(0.8, 2.8)
+        fields.update(room2_lo=lo2, room2_hi=hi2, room2_on=f32(1.0))
+
+    rooms = [(room_lo, room_hi)]
+    if fields["room2_on"] > 0:
+        rooms.append((fields["room2_lo"], fields["room2_hi"]))
+
+    def pick_room():
+        return rooms[1] if len(rooms) > 1 and rng.rand() < 0.35 else rooms[0]
+
+    def place(margin, lo, hi, xy_clear=None, z=None):
+        """A point inside [lo, hi] with per-axis margin (clamped so thin
+        rooms stay feasible), either >= margin+0.45 m from the camera in
+        3D, or — for floor-snapped objects at fixed ``z`` — in xy."""
+        for _ in range(64):
+            p = np.empty(3, f32)
+            for i in range(3):
+                m = min(margin, 0.45 * (hi[i] - lo[i]))
+                p[i] = rng.uniform(lo[i] + m, hi[i] - m)
+            if z is not None:
+                p[2] = z
+            clear = (xy_clear if xy_clear is not None else margin) + 0.45
+            dist = (np.linalg.norm(p[:2]) if z is not None
+                    else np.linalg.norm(p))
+            if dist > clear:
+                return p
+        p = np.array([hi[0] - margin - 0.1, 0.0,
+                      z if z is not None else 0.0], f32)
+        return p
+
+    n_sph = rng.randint(0, MAX_SPHERES + 1)
+    sph_c = np.zeros((MAX_SPHERES, 3), f32)
+    sph_r = np.full(MAX_SPHERES, 0.1, f32)
+    sph_on = np.zeros(MAX_SPHERES, f32)
+    for i in range(n_sph):
+        r = rng.uniform(0.12, 0.8)
+        lo, hi = pick_room()
+        if rng.rand() < 0.45:  # resting on the floor
+            sph_c[i] = place(r, lo, hi, xy_clear=r, z=float(lo[2]) + r)
+        else:
+            sph_c[i] = place(r, lo, hi)
+        sph_r[i] = r
+        sph_on[i] = 1.0
+
+    n_box = rng.randint(1, MAX_BOXES + 1)
+    box_lo = np.zeros((MAX_BOXES, 3), f32)
+    box_hi = np.ones((MAX_BOXES, 3), f32) * 0.1
+    box_on = np.zeros(MAX_BOXES, f32)
+    for i in range(n_box):
+        half = rng.uniform(0.12, 0.9, 3).astype(f32)
+        if rng.rand() < 0.25:  # tall cupboard / shelf
+            half[2] = rng.uniform(0.8, 1.3)
+        lo, hi = pick_room()
+        if rng.rand() < 0.6:   # resting on the floor
+            cxy = place(float(np.max(half[:2])), lo, hi,
+                        xy_clear=float(np.linalg.norm(half[:2])),
+                        z=float(lo[2]) + float(half[2]))
+            c = np.array([cxy[0], cxy[1], lo[2] + half[2]], f32)
+        else:
+            c = place(float(np.max(half)), lo, hi)
+        box_lo[i] = c - half
+        box_hi[i] = c + half
+        box_on[i] = 1.0
+
+    n_cyl = rng.randint(0, MAX_CYLS + 1)
+    cyl_c = np.zeros((MAX_CYLS, 2), f32)
+    cyl_r = np.full(MAX_CYLS, 0.05, f32)
+    cyl_z = np.tile(np.array([0.0, 0.1], f32), (MAX_CYLS, 1))
+    cyl_on = np.zeros(MAX_CYLS, f32)
+    for i in range(n_cyl):
+        r = rng.uniform(0.08, 0.5)
+        lo, hi = pick_room()
+        p = place(r, lo, hi, xy_clear=r, z=float(lo[2]))
+        cyl_c[i] = p[:2]
+        cyl_r[i] = r
+        if rng.rand() < 0.4:   # full-height column
+            cyl_z[i] = (lo[2], hi[2])
+        else:                  # floor-standing (lamp / stool / bin)
+            cyl_z[i] = (lo[2], lo[2] + rng.uniform(0.4, 1.4))
+        cyl_on[i] = 1.0
+    fields.update(cyl_c=cyl_c, cyl_r=cyl_r, cyl_z=cyl_z, cyl_on=cyl_on)
+
+    def color():
+        return rng.uniform(0.08, 0.98, 3).astype(f32)
+
+    if rng.rand() < 0.4:  # plain plastered walls
+        g = rng.uniform(0.55, 0.95)
+        wall_color = np.clip(
+            g + rng.uniform(-0.08, 0.08, (6, 3)), 0.0, 1.0).astype(f32)
+    else:
+        wall_color = np.stack([color() for _ in range(6)])
+    obj_c1 = np.stack([color() for _ in range(N_OBJ)])
+    obj_c2 = np.stack([color() for _ in range(N_OBJ)])
+    tex_kind = rng.randint(0, 7, N_OBJ).astype(np.int32)
+    tex_scale = rng.uniform(0.5, 6.0, N_OBJ).astype(f32)
+    fields["tex_rot"] = rng.uniform(0.0, math.pi, N_OBJ).astype(f32)
+
+    if rng.rand() < 0.7:  # ceiling point light
+        fields.update(
+            light_p=np.array([
+                rng.uniform(0.6 * room_lo[0], 0.6 * room_hi[0]),
+                rng.uniform(0.6 * room_lo[1], 0.6 * room_hi[1]),
+                ceil - 0.25], f32),
+            light_i=f32(rng.uniform(0.3, 1.1)))
+
+    return Scene(room_lo, room_hi, sph_c, sph_r, sph_on, box_lo, box_hi,
+                 box_on, wall_color, obj_c1, obj_c2, tex_kind, tex_scale,
+                 np.float32(rng.uniform(0.15, 0.5)), **fields)
 
 
 def stack_scenes(scenes: List[Scene]) -> Scene:
@@ -139,6 +347,21 @@ def _render_dirs(scene: Scene, d):
     t_ax = jnp.where(d >= 0, scene.room_hi / safe_d, scene.room_lo / safe_d)
     t_room = jnp.min(t_ax, axis=-1)
     face_ax = jnp.argmin(t_ax, axis=-1)
+
+    # --- attached second room (v2 L-shapes): if the exit of room 1 lands
+    # inside the room-2 box, the ray continues to room 2's slab exit — the
+    # doorway opening is exactly the shared-face cross-section.  Rooms are
+    # convex, so past t_room the ray never re-enters room 1 and the union
+    # exit is just room 2's far slab.  room2_on=0 gates this to a no-op.
+    p1 = d * t_room[..., None]
+    t2_ax = jnp.maximum(scene.room2_lo / safe_d, scene.room2_hi / safe_d)
+    t2 = jnp.min(t2_ax, axis=-1)
+    ins2 = jnp.all((p1 >= scene.room2_lo - 1e-4)
+                   & (p1 <= scene.room2_hi + 1e-4), axis=-1)
+    use2 = (scene.room2_on > 0) & ins2 & (t2 > t_room)
+    t_room = jnp.where(use2, t2, t_room)
+    face_ax = jnp.where(use2, jnp.argmin(t2_ax, axis=-1), face_ax)
+
     d_face = jnp.take_along_axis(d, face_ax[..., None], axis=-1)[..., 0]
     face_id = face_ax * 2 + (d_face >= 0).astype(jnp.int32)
 
@@ -162,26 +385,53 @@ def _render_dirs(scene: Scene, d):
     hit = (t_near > eps) & (t_near <= t_far) & (scene.box_on > 0)
     t_box = jnp.where(hit, t_near, big)
 
+    # --- vertical cylinders (v2): infinite-cylinder quadratic in xy
+    # intersected with the z slab; entering through the slab = a cap hit.
+    # Placement keeps |c_xy| > r, so near-vertical rays (a -> 0) miss both
+    # the side and the caps and the a-clamp below is never load-bearing.
+    a_xy = jnp.maximum(jnp.sum(d[..., :2] ** 2, -1), 1e-8)[..., None]
+    b_xy = jnp.einsum("...k,ck->...c", d[..., :2], scene.cyl_c)
+    c_xy = jnp.sum(scene.cyl_c ** 2, -1) - scene.cyl_r ** 2
+    disc_c = b_xy * b_xy - a_xy * c_xy
+    sq_c = jnp.sqrt(jnp.maximum(disc_c, 0.0))
+    tc0 = (b_xy - sq_c) / a_xy
+    tc1 = (b_xy + sq_c) / a_xy
+    dz = safe_d[..., 2:3]
+    tz_a = scene.cyl_z[:, 0] / dz
+    tz_b = scene.cyl_z[:, 1] / dz
+    tn_c = jnp.maximum(tc0, jnp.minimum(tz_a, tz_b))
+    tf_c = jnp.minimum(tc1, jnp.maximum(tz_a, tz_b))
+    hit_c = (disc_c > 0) & (tn_c > eps) & (tn_c <= tf_c) & (scene.cyl_on > 0)
+    t_cyl = jnp.where(hit_c, tn_c, big)
+
     # --- nearest object
     t_all = jnp.concatenate(
-        [t_room[..., None], t_sph, t_box], axis=-1)      # (..., N_OBJ)
+        [t_room[..., None], t_sph, t_box, t_cyl], axis=-1)  # (..., N_OBJ)
     obj = jnp.argmin(t_all, axis=-1)                     # (...,)
     t = jnp.min(t_all, axis=-1)
     p = d * t[..., None]                                 # hit point
 
     kind = jnp.concatenate([jnp.zeros(1, jnp.int32),
                             jnp.ones(MAX_SPHERES, jnp.int32),
-                            jnp.full(MAX_BOXES, 2, jnp.int32)])[obj]
+                            jnp.full(MAX_BOXES, 2, jnp.int32),
+                            jnp.full(MAX_CYLS, 3, jnp.int32)])[obj]
 
     # --- normals (inward-facing; all three types computed then selected)
     n_room = -jax.nn.one_hot(face_ax, 3) * jnp.sign(safe_d)
+    cyl_cen = jnp.concatenate(
+        [scene.cyl_c, jnp.mean(scene.cyl_z, -1, keepdims=True)], axis=-1)
+    cyl_half = jnp.stack(
+        [scene.cyl_r, scene.cyl_r,
+         jnp.maximum((scene.cyl_z[:, 1] - scene.cyl_z[:, 0]) * 0.5, 1e-4)],
+        axis=-1)
     cen = jnp.concatenate([
         jnp.zeros((1, 3), jnp.float32), scene.sph_c,
-        (scene.box_lo + scene.box_hi) * 0.5], axis=0)    # (N_OBJ, 3)
+        (scene.box_lo + scene.box_hi) * 0.5, cyl_cen], axis=0)  # (N_OBJ, 3)
     half = jnp.concatenate([
         jnp.ones((1, 3), jnp.float32),
         jnp.broadcast_to(scene.sph_r[:, None], (MAX_SPHERES, 3)),
-        jnp.maximum((scene.box_hi - scene.box_lo) * 0.5, 1e-4)], axis=0)
+        jnp.maximum((scene.box_hi - scene.box_lo) * 0.5, 1e-4),
+        cyl_half], axis=0)
     rel = p - cen[obj]
     n_sphv = rel / jnp.maximum(
         jnp.linalg.norm(rel, axis=-1, keepdims=True), 1e-9)
@@ -189,12 +439,28 @@ def _render_dirs(scene: Scene, d):
     box_ax = jnp.argmax(jnp.abs(q), axis=-1)
     n_boxv = jax.nn.one_hot(box_ax, 3) * jnp.sign(
         jnp.take_along_axis(q, box_ax[..., None], axis=-1))
+    # cylinder: radial in xy on the side, +-z on the caps (a hit point at
+    # the full half-height can only have entered through the z slab)
+    rel_xy = rel * jnp.array([1.0, 1.0, 0.0], jnp.float32)
+    n_side = rel_xy / jnp.maximum(
+        jnp.linalg.norm(rel_xy, axis=-1, keepdims=True), 1e-9)
+    on_cap = jnp.abs(rel[..., 2]) >= half[obj][..., 2] * (1.0 - 1e-3)
+    n_cap = jnp.array([0.0, 0.0, 1.0], jnp.float32) \
+        * jnp.sign(rel[..., 2:3])
+    n_cylv = jnp.where(on_cap[..., None], n_cap, n_side)
     n = jnp.where((kind == 0)[..., None], n_room,
-                  jnp.where((kind == 1)[..., None], n_sphv, n_boxv))
+                  jnp.where((kind == 1)[..., None], n_sphv,
+                            jnp.where((kind == 2)[..., None], n_boxv,
+                                      n_cylv)))
 
-    # --- procedural albedo
+    # --- procedural albedo (texture coords rotated about z; rot=0 in v1
+    # is exact — cos(0)=1/sin(0)=0 and the f32 products round back to p)
+    rot = scene.tex_rot[obj]
+    cr, sr = jnp.cos(rot), jnp.sin(rot)
+    pr = jnp.stack([p[..., 0] * cr - p[..., 1] * sr,
+                    p[..., 0] * sr + p[..., 1] * cr, p[..., 2]], axis=-1)
     s = scene.tex_scale[obj][..., None]
-    ps = p * s
+    ps = pr * s
     checker = (jnp.floor(ps[..., 0]) + jnp.floor(ps[..., 1])
                + jnp.floor(ps[..., 2])) % 2.0
     stripes = 0.5 + 0.5 * jnp.sin(
@@ -202,10 +468,23 @@ def _render_dirs(scene: Scene, d):
     marble = 0.5 + 0.5 * jnp.sin(
         ps[..., 0] * 3.1 + 2.0 * jnp.sin(ps[..., 1] * 2.2)
         + 1.3 * jnp.sin(ps[..., 2] * 2.7))
+    rings = 0.5 + 0.5 * jnp.sin(
+        6.0 * jnp.sqrt(ps[..., 0] ** 2 + ps[..., 1] ** 2 + 1e-12))
+    fr = ps - jnp.floor(ps) - 0.5
+    dots = (jnp.sum(fr * fr, axis=-1) < 0.09).astype(jnp.float32)
+    noise = 0.5 + 0.5 / 3.0 * (
+        jnp.sin(ps[..., 0] * 1.7 + ps[..., 1] * 2.3)
+        + jnp.sin(ps[..., 1] * 2.9 - ps[..., 2] * 1.1)
+        + jnp.sin(ps[..., 2] * 2.1 + ps[..., 0] * 3.3))
     tk = scene.tex_kind[obj]
-    m = jnp.where(tk == 0, 0.0,
-                  jnp.where(tk == 1, checker,
-                            jnp.where(tk == 2, stripes, marble)))[..., None]
+    m = jnp.where(
+        tk == 0, 0.0,
+        jnp.where(tk == 1, checker,
+                  jnp.where(tk == 2, stripes,
+                            jnp.where(tk == 3, marble,
+                                      jnp.where(tk == 4, rings,
+                                                jnp.where(tk == 5, dots,
+                                                          noise))))))[..., None]
     c1 = scene.obj_c1[obj]
     c2 = scene.obj_c2[obj]
     # room faces get their own wall palette (texture modulates brightness)
@@ -218,6 +497,11 @@ def _render_dirs(scene: Scene, d):
     lam = jnp.abs(jnp.sum(n * d, axis=-1))
     atten = 1.0 / (1.0 + (t / 7.0) ** 2)
     shade = scene.ambient + (1.0 - scene.ambient) * lam * atten
+    # point light (v2; intensity 0 adds exactly 0): shadowless Lambertian
+    lvec = scene.light_p - p
+    ldist = jnp.maximum(jnp.linalg.norm(lvec, axis=-1), 1e-6)
+    lam2 = jnp.abs(jnp.sum(n * lvec, axis=-1)) / ldist
+    shade = shade + scene.light_i * lam2 / (1.0 + (ldist / 4.0) ** 2)
     rgb = jnp.clip(albedo * shade[..., None], 0.0, 1.0)
     depth01 = jnp.clip(t * METERS_TO_01, 0.0, 1.0)
     return rgb, depth01
@@ -260,7 +544,7 @@ def sample_view_fov(rng: np.random.RandomState) -> np.ndarray:
 
 def synth_batches(batch_size: int, kind: str = "perspective",
                   view_size: int = 256, pano_width: int = 512,
-                  seed: int = 0, sharding=None):
+                  seed: int = 0, sharding=None, version=1):
     """Infinite generator of on-device-rendered training batches.
 
     Yields (rgb, depth, valid) exactly like :mod:`panodepth.models.data`
@@ -284,7 +568,7 @@ def synth_batches(batch_size: int, kind: str = "perspective",
         render = jax.jit(render, **kw) if kw else render
 
         def host_params():
-            scenes = stack_scenes([sample_scene(rng)
+            scenes = stack_scenes([sample_scene(rng, version)
                                    for _ in range(batch_size)])
             fovs = np.stack([sample_view_fov(rng)
                              for _ in range(batch_size)])
@@ -299,7 +583,7 @@ def synth_batches(batch_size: int, kind: str = "perspective",
         render = jax.jit(render, **kw)
 
         def host_params():
-            return (stack_scenes([sample_scene(rng)
+            return (stack_scenes([sample_scene(rng, version)
                                   for _ in range(batch_size)]),)
 
     # host-side scene sampling (rejection loops over ~15 objects x batch)
@@ -314,7 +598,8 @@ def synth_batches(batch_size: int, kind: str = "perspective",
 
 
 def write_dataset(outdir: str, count: int, width: int = 2048,
-                  seed: int = 0, start: int = 0, log=print) -> None:
+                  seed: int = 0, start: int = 0, version=1,
+                  log=print) -> None:
     """Write ``count`` scenes as rgb/synth_NNNN.jpg + gt/synth_NNNN.png
     (matterport naming, consumable by the batch driver and train_cli)."""
     import os
@@ -322,13 +607,13 @@ def write_dataset(outdir: str, count: int, width: int = 2048,
     from . import io as pio
 
     rng = np.random.RandomState(seed)
-    for _ in range(start):  # burn the first `start` scenes so that
-        sample_scene(rng)   # (seed, start) slices one disjoint stream
+    for _ in range(start):          # burn the first `start` scenes so that
+        sample_scene(rng, version)  # (seed, start) slices one disjoint stream
     os.makedirs(os.path.join(outdir, "rgb"), exist_ok=True)
     os.makedirs(os.path.join(outdir, "gt"), exist_ok=True)
     render = jax.jit(lambda s: render_pano(s, width))
     for i in range(count):
-        scene = sample_scene(rng)
+        scene = sample_scene(rng, version)
         rgb, dep = render(jax.tree.map(jnp.asarray, scene))
         rgb = np.asarray(jax.device_get(rgb))
         dep = np.asarray(jax.device_get(dep))
@@ -353,13 +638,17 @@ def main(argv=None) -> int:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--start", type=int, default=0,
                    help="first scene index (for disjoint train/eval sets)")
+    p.add_argument("--scenes", default="v1", choices=["v1", "v2", "mix"],
+                   help="scene distribution: v1 = original convex rooms, "
+                        "v2 = diverse (L-rooms, corridors, cylinders, "
+                        "point light), mix = 35%% v1 / 65%% v2")
     p.add_argument("--platform", default="auto",
                    choices=["auto", "cpu", "tpu"])
     args = p.parse_args(argv)
     if args.platform != "auto":
         jax.config.update("jax_platforms", args.platform)
     write_dataset(args.outdir, args.count, width=args.width, seed=args.seed,
-                  start=args.start)
+                  start=args.start, version=args.scenes)
     return 0
 
 

@@ -37,6 +37,11 @@ def build_parser():
                    help="train on procedurally generated scenes rendered "
                         "on-device (rgb/gt folders are ignored; see "
                         "panodepth.synth)")
+    p.add_argument("--synth-version", default="v1",
+                   choices=["v1", "v2", "mix"],
+                   help="scene distribution for --synth (v2 adds L-rooms, "
+                        "corridors, cylinders, point lights; mix = 35%% "
+                        "v1 / 65%% v2)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--init-from", default=None,
                    help="initialize params from an existing checkpoint "
@@ -83,7 +88,8 @@ def main(argv=None) -> int:
 
             return synth.synth_batches(
                 args.batch_size, kind=kind, view_size=args.view_size,
-                pano_width=args.pano_width, seed=args.seed)
+                pano_width=args.pano_width, seed=args.seed,
+                version=args.synth_version)
         if kind == "perspective":
             return pdata.perspective_batches(pairs, args.batch_size,
                                              view_size=args.view_size,

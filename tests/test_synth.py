@@ -87,3 +87,118 @@ def test_write_dataset_roundtrip(tmp_path):
     pairs = pdata.discover_pairs(os.path.join(out, "rgb"),
                                  os.path.join(out, "gt"))
     assert len(pairs) == 2
+
+
+def test_v1_render_golden():
+    """v1 scenes must render bit-identically across engine changes (the
+    committed zoo evals regenerate their scenes from seeds); golden values
+    captured before the v2 scene-diversity extension landed."""
+    rng = np.random.RandomState(0)
+    scene = synth.sample_scene(rng)
+    rgb, dep = jax.jit(lambda s: synth.render_pano(s, 128))(_dev(scene))
+    rgb, dep = np.asarray(rgb), np.asarray(dep)
+    np.testing.assert_allclose(rgb[10, 20],
+                               [0.23981937766075134, 0.36071014404296875,
+                                0.5624438524246216], rtol=0, atol=1e-7)
+    np.testing.assert_allclose(float(dep[40, 100]), 0.21996389, atol=1e-7)
+    # no v2 features may activate on a v1 scene
+    assert float(scene.room2_on) == 0.0 and float(scene.light_i) == 0.0
+    assert not scene.cyl_on.any() and not scene.tex_rot.any()
+
+
+def _empty_room(rng):
+    """A v1 scene stripped to the bare room (no furniture)."""
+    f32 = np.float32
+    s = synth.sample_scene(rng)
+    return s._replace(
+        room_lo=np.array([-2, -2, -1.5], f32),
+        room_hi=np.array([2, 2, 1.5], f32),
+        sph_on=np.zeros_like(s.sph_on), box_on=np.zeros_like(s.box_on))
+
+
+def test_room_union_doorway():
+    """A ray through the attached room's cross-section continues to the far
+    wall; a ray missing the doorway stops at room 1's wall (analytic)."""
+    f32 = np.float32
+    s = _empty_room(np.random.RandomState(2))
+    s = s._replace(room2_lo=np.array([1.8, -0.5, -1.5], f32),
+                   room2_hi=np.array([5.0, 0.5, 1.2], f32),
+                   room2_on=f32(1.0))
+    d_through = jnp.asarray(np.array([1, 0, 0], f32))
+    _, dep = synth._render_dirs(_dev(s), d_through)
+    np.testing.assert_allclose(float(dep), 5.0 * synth.METERS_TO_01,
+                               rtol=1e-5)
+    # same ray with the doorway shifted off-axis: stops at room 1's wall
+    s_miss = s._replace(room2_lo=np.array([1.8, 0.3, -1.5], f32),
+                        room2_hi=np.array([5.0, 0.9, 1.2], f32))
+    _, dep = synth._render_dirs(_dev(s_miss), d_through)
+    np.testing.assert_allclose(float(dep), 2.0 * synth.METERS_TO_01,
+                               rtol=1e-5)
+    # room2_on=0 must gate the identical geometry back to room 1's wall
+    _, dep = synth._render_dirs(_dev(s._replace(room2_on=f32(0.0))),
+                                d_through)
+    np.testing.assert_allclose(float(dep), 2.0 * synth.METERS_TO_01,
+                               rtol=1e-5)
+
+
+def test_cylinder_side_and_cap():
+    """Analytic cylinder hits: side at t = |c|-r along +x; cap entry through
+    the z slab at the slab-crossing distance."""
+    f32 = np.float32
+    s = _empty_room(np.random.RandomState(2))
+    cyl_c = np.zeros((synth.MAX_CYLS, 2), f32)
+    cyl_r = np.full(synth.MAX_CYLS, 0.05, f32)
+    cyl_z = np.tile(np.array([0.0, 0.1], f32), (synth.MAX_CYLS, 1))
+    cyl_on = np.zeros(synth.MAX_CYLS, f32)
+    cyl_c[0] = (1.0, 0.0)
+    cyl_r[0] = 0.6
+    cyl_z[0] = (-1.5, -0.5)
+    cyl_on[0] = 1.0
+    s = s._replace(cyl_c=cyl_c, cyl_r=cyl_r, cyl_z=cyl_z, cyl_on=cyl_on)
+    # side hit: horizontal ray at z=0 passes over (slab z < 0) -> room wall
+    d = jnp.asarray(np.array([1, 0, 0], f32))
+    _, dep = synth._render_dirs(_dev(s), d)
+    np.testing.assert_allclose(float(dep), 2.0 * synth.METERS_TO_01,
+                               rtol=1e-5)
+    # side hit within the slab: steep enough that the xy-distance-0.4 point
+    # sits at z = -0.56 (inside the slab), while the z=-0.5 cap crossing is
+    # at xy distance 0.643 > r (cap miss) -> first valid hit is the side
+    d = np.array([1, 0, -1.4], f32)
+    d = jnp.asarray(d / np.linalg.norm(d))
+    _, dep = synth._render_dirs(_dev(s), d)
+    # side at xy distance 0.4 -> t = 0.4 / d_x
+    t_expect = 0.4 / float(np.asarray(d)[0])
+    np.testing.assert_allclose(float(dep), t_expect * synth.METERS_TO_01,
+                               rtol=1e-4)
+    # cap entry: ray toward the axis point on the top-cap plane
+    d = np.array([1, 0, -0.5], f32)
+    d = jnp.asarray(d / np.linalg.norm(d))
+    _, dep = synth._render_dirs(_dev(s), d)
+    np.testing.assert_allclose(float(dep),
+                               np.sqrt(1.25) * synth.METERS_TO_01, rtol=1e-4)
+
+
+def test_v2_render_valid_over_seeds():
+    """v2 scenes render finite, in-range RGB and bounded depth, poles
+    included, across seeds (exercises rooms-union, cylinders, light)."""
+    render = jax.jit(lambda s: synth.render_pano(s, 64))
+    for seed in range(6):
+        scene = synth.sample_scene(np.random.RandomState(2000 + seed), "v2")
+        rgb, dep = render(_dev(scene))
+        rgb, dep = np.asarray(rgb), np.asarray(dep)
+        assert np.isfinite(rgb).all() and np.isfinite(dep).all()
+        assert rgb.min() >= 0.0 and rgb.max() <= 1.0
+        assert dep.min() > 1e-3 and dep.max() < 1.0
+
+
+def test_synth_batches_v2_and_mix():
+    a = next(synth.synth_batches(2, "pano", pano_width=64, seed=9,
+                                 version="v2"))
+    b = next(synth.synth_batches(2, "pano", pano_width=64, seed=9,
+                                 version="v2"))
+    np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+    v1 = next(synth.synth_batches(2, "pano", pano_width=64, seed=9))
+    assert not np.array_equal(np.asarray(a[0]), np.asarray(v1[0]))
+    m = next(synth.synth_batches(2, "pano", pano_width=64, seed=9,
+                                 version="mix"))
+    assert np.asarray(m[0]).shape == (2, 32, 64, 3)
