@@ -31,13 +31,14 @@ def evaluate(ckpt_path: str, count: int = 16, seed: int = 77_000,
     kind = arch["model"]
     rng = np.random.RandomState(seed)
 
+    use_v2 = str(scene_version) not in ("1", "v1")
     if kind == "perspective":
         size = arch.get("view_size", 256)
 
         @jax.jit
         def render(scenes, fovs):
             return jax.vmap(
-                lambda s, f: synth.render_view(s, f, size, size)
+                lambda s, f: synth.render_view(s, f, size, size, use_v2)
             )(scenes, fovs)
     else:
         pw = arch.get("pano_width", 512)
@@ -45,7 +46,7 @@ def evaluate(ckpt_path: str, count: int = 16, seed: int = 77_000,
         @jax.jit
         def render(scenes):
             return jax.vmap(
-                lambda s: synth.render_pano(s, pw, pw // 2))(scenes)
+                lambda s: synth.render_pano(s, pw, pw // 2, use_v2))(scenes)
 
     predict = jax.jit(model.apply)
 

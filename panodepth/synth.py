@@ -211,8 +211,12 @@ def _sample_scene_v2(rng: np.random.RandomState) -> Scene:
             lo2[ax], hi2[ax] = face - depth2, face + 0.2
         oax = 1 - ax
         c = rng.uniform(room_lo[oax] + 0.5, room_hi[oax] - 0.5)
-        lo2[oax], hi2[oax] = c - w2 / 2, c + w2 / 2
-        hi2[2] = rng.uniform(0.8, 2.8)
+        # clamp the cross-section inside room 1's face so the only opening
+        # of the union is the doorway itself (no slot windows through the
+        # ceiling or side walls where the 0.2 m overlap would poke out)
+        lo2[oax] = max(c - w2 / 2, float(room_lo[oax]))
+        hi2[oax] = min(c + w2 / 2, float(room_hi[oax]))
+        hi2[2] = min(rng.uniform(0.8, 2.8), float(ceil))
         fields.update(room2_lo=lo2, room2_hi=hi2, room2_on=f32(1.0))
 
     rooms = [(room_lo, room_hi)]
@@ -225,7 +229,10 @@ def _sample_scene_v2(rng: np.random.RandomState) -> Scene:
     def place(margin, lo, hi, xy_clear=None, z=None):
         """A point inside [lo, hi] with per-axis margin (clamped so thin
         rooms stay feasible), either >= margin+0.45 m from the camera in
-        3D, or — for floor-snapped objects at fixed ``z`` — in xy."""
+        3D, or — for floor-snapped objects at fixed ``z`` — in xy.
+        Returns None when the room is too small to satisfy the camera
+        clearance (the caller skips the object — never place one that
+        could swallow the camera or break the |c_xy| > r invariant)."""
         for _ in range(64):
             p = np.empty(3, f32)
             for i in range(3):
@@ -238,9 +245,7 @@ def _sample_scene_v2(rng: np.random.RandomState) -> Scene:
                     else np.linalg.norm(p))
             if dist > clear:
                 return p
-        p = np.array([hi[0] - margin - 0.1, 0.0,
-                      z if z is not None else 0.0], f32)
-        return p
+        return None
 
     n_sph = rng.randint(0, MAX_SPHERES + 1)
     sph_c = np.zeros((MAX_SPHERES, 3), f32)
@@ -250,9 +255,12 @@ def _sample_scene_v2(rng: np.random.RandomState) -> Scene:
         r = rng.uniform(0.12, 0.8)
         lo, hi = pick_room()
         if rng.rand() < 0.45:  # resting on the floor
-            sph_c[i] = place(r, lo, hi, xy_clear=r, z=float(lo[2]) + r)
+            p = place(r, lo, hi, xy_clear=r, z=float(lo[2]) + r)
         else:
-            sph_c[i] = place(r, lo, hi)
+            p = place(r, lo, hi)
+        if p is None:
+            continue
+        sph_c[i] = p
         sph_r[i] = r
         sph_on[i] = 1.0
 
@@ -266,12 +274,13 @@ def _sample_scene_v2(rng: np.random.RandomState) -> Scene:
             half[2] = rng.uniform(0.8, 1.3)
         lo, hi = pick_room()
         if rng.rand() < 0.6:   # resting on the floor
-            cxy = place(float(np.max(half[:2])), lo, hi,
-                        xy_clear=float(np.linalg.norm(half[:2])),
-                        z=float(lo[2]) + float(half[2]))
-            c = np.array([cxy[0], cxy[1], lo[2] + half[2]], f32)
+            c = place(float(np.max(half[:2])), lo, hi,
+                      xy_clear=float(np.linalg.norm(half[:2])),
+                      z=float(lo[2]) + float(half[2]))
         else:
             c = place(float(np.max(half)), lo, hi)
+        if c is None:
+            continue
         box_lo[i] = c - half
         box_hi[i] = c + half
         box_on[i] = 1.0
@@ -285,6 +294,8 @@ def _sample_scene_v2(rng: np.random.RandomState) -> Scene:
         r = rng.uniform(0.08, 0.5)
         lo, hi = pick_room()
         p = place(r, lo, hi, xy_clear=r, z=float(lo[2]))
+        if p is None:
+            continue
         cyl_c[i] = p[:2]
         cyl_r[i] = r
         if rng.rand() < 0.4:   # full-height column
@@ -328,7 +339,7 @@ def stack_scenes(scenes: List[Scene]) -> Scene:
                    for f in Scene._fields))
 
 
-def _render_dirs(scene: Scene, d):
+def _render_dirs(scene: Scene, d, v2: bool = True):
     """Trace unit-ray directions ``d`` (..., 3) from the origin.
 
     Returns (rgb (..., 3) in 0~1, depth in the 0~1 Matterport encoding).
@@ -353,14 +364,16 @@ def _render_dirs(scene: Scene, d):
     # doorway opening is exactly the shared-face cross-section.  Rooms are
     # convex, so past t_room the ray never re-enters room 1 and the union
     # exit is just room 2's far slab.  room2_on=0 gates this to a no-op.
-    p1 = d * t_room[..., None]
-    t2_ax = jnp.maximum(scene.room2_lo / safe_d, scene.room2_hi / safe_d)
-    t2 = jnp.min(t2_ax, axis=-1)
-    ins2 = jnp.all((p1 >= scene.room2_lo - 1e-4)
-                   & (p1 <= scene.room2_hi + 1e-4), axis=-1)
-    use2 = (scene.room2_on > 0) & ins2 & (t2 > t_room)
-    t_room = jnp.where(use2, t2, t_room)
-    face_ax = jnp.where(use2, jnp.argmin(t2_ax, axis=-1), face_ax)
+    if v2:
+        p1 = d * t_room[..., None]
+        t2_ax = jnp.maximum(scene.room2_lo / safe_d,
+                            scene.room2_hi / safe_d)
+        t2 = jnp.min(t2_ax, axis=-1)
+        ins2 = jnp.all((p1 >= scene.room2_lo - 1e-4)
+                       & (p1 <= scene.room2_hi + 1e-4), axis=-1)
+        use2 = (scene.room2_on > 0) & ins2 & (t2 > t_room)
+        t_room = jnp.where(use2, t2, t_room)
+        face_ax = jnp.where(use2, jnp.argmin(t2_ax, axis=-1), face_ax)
 
     d_face = jnp.take_along_axis(d, face_ax[..., None], axis=-1)[..., 0]
     face_id = face_ax * 2 + (d_face >= 0).astype(jnp.int32)
@@ -389,24 +402,28 @@ def _render_dirs(scene: Scene, d):
     # intersected with the z slab; entering through the slab = a cap hit.
     # Placement keeps |c_xy| > r, so near-vertical rays (a -> 0) miss both
     # the side and the caps and the a-clamp below is never load-bearing.
-    a_xy = jnp.maximum(jnp.sum(d[..., :2] ** 2, -1), 1e-8)[..., None]
-    b_xy = jnp.einsum("...k,ck->...c", d[..., :2], scene.cyl_c)
-    c_xy = jnp.sum(scene.cyl_c ** 2, -1) - scene.cyl_r ** 2
-    disc_c = b_xy * b_xy - a_xy * c_xy
-    sq_c = jnp.sqrt(jnp.maximum(disc_c, 0.0))
-    tc0 = (b_xy - sq_c) / a_xy
-    tc1 = (b_xy + sq_c) / a_xy
-    dz = safe_d[..., 2:3]
-    tz_a = scene.cyl_z[:, 0] / dz
-    tz_b = scene.cyl_z[:, 1] / dz
-    tn_c = jnp.maximum(tc0, jnp.minimum(tz_a, tz_b))
-    tf_c = jnp.minimum(tc1, jnp.maximum(tz_a, tz_b))
-    hit_c = (disc_c > 0) & (tn_c > eps) & (tn_c <= tf_c) & (scene.cyl_on > 0)
-    t_cyl = jnp.where(hit_c, tn_c, big)
+    if v2:
+        a_xy = jnp.maximum(jnp.sum(d[..., :2] ** 2, -1), 1e-8)[..., None]
+        b_xy = jnp.einsum("...k,ck->...c", d[..., :2], scene.cyl_c)
+        c_xy = jnp.sum(scene.cyl_c ** 2, -1) - scene.cyl_r ** 2
+        disc_c = b_xy * b_xy - a_xy * c_xy
+        sq_c = jnp.sqrt(jnp.maximum(disc_c, 0.0))
+        tc0 = (b_xy - sq_c) / a_xy
+        tc1 = (b_xy + sq_c) / a_xy
+        dz = safe_d[..., 2:3]
+        tz_a = scene.cyl_z[:, 0] / dz
+        tz_b = scene.cyl_z[:, 1] / dz
+        tn_c = jnp.maximum(tc0, jnp.minimum(tz_a, tz_b))
+        tf_c = jnp.minimum(tc1, jnp.maximum(tz_a, tz_b))
+        hit_c = ((disc_c > 0) & (tn_c > eps) & (tn_c <= tf_c)
+                 & (scene.cyl_on > 0))
+        t_cyl = [jnp.where(hit_c, tn_c, big)]
+    else:
+        t_cyl = []  # obj then never indexes a cylinder slot
 
     # --- nearest object
     t_all = jnp.concatenate(
-        [t_room[..., None], t_sph, t_box, t_cyl], axis=-1)  # (..., N_OBJ)
+        [t_room[..., None], t_sph, t_box] + t_cyl, axis=-1)  # (..., N_OBJ)
     obj = jnp.argmin(t_all, axis=-1)                     # (...,)
     t = jnp.min(t_all, axis=-1)
     p = d * t[..., None]                                 # hit point
@@ -439,26 +456,31 @@ def _render_dirs(scene: Scene, d):
     box_ax = jnp.argmax(jnp.abs(q), axis=-1)
     n_boxv = jax.nn.one_hot(box_ax, 3) * jnp.sign(
         jnp.take_along_axis(q, box_ax[..., None], axis=-1))
-    # cylinder: radial in xy on the side, +-z on the caps (a hit point at
-    # the full half-height can only have entered through the z slab)
-    rel_xy = rel * jnp.array([1.0, 1.0, 0.0], jnp.float32)
-    n_side = rel_xy / jnp.maximum(
-        jnp.linalg.norm(rel_xy, axis=-1, keepdims=True), 1e-9)
-    on_cap = jnp.abs(rel[..., 2]) >= half[obj][..., 2] * (1.0 - 1e-3)
-    n_cap = jnp.array([0.0, 0.0, 1.0], jnp.float32) \
-        * jnp.sign(rel[..., 2:3])
-    n_cylv = jnp.where(on_cap[..., None], n_cap, n_side)
+    if v2:
+        # cylinder: radial in xy on the side, +-z on the caps (a hit point
+        # at the full half-height can only have entered through the z slab)
+        rel_xy = rel * jnp.array([1.0, 1.0, 0.0], jnp.float32)
+        n_side = rel_xy / jnp.maximum(
+            jnp.linalg.norm(rel_xy, axis=-1, keepdims=True), 1e-9)
+        on_cap = jnp.abs(rel[..., 2]) >= half[obj][..., 2] * (1.0 - 1e-3)
+        n_cap = jnp.array([0.0, 0.0, 1.0], jnp.float32) \
+            * jnp.sign(rel[..., 2:3])
+        n_cylv = jnp.where(on_cap[..., None], n_cap, n_side)
+        n_last = jnp.where((kind == 2)[..., None], n_boxv, n_cylv)
+    else:
+        n_last = n_boxv
     n = jnp.where((kind == 0)[..., None], n_room,
-                  jnp.where((kind == 1)[..., None], n_sphv,
-                            jnp.where((kind == 2)[..., None], n_boxv,
-                                      n_cylv)))
+                  jnp.where((kind == 1)[..., None], n_sphv, n_last))
 
     # --- procedural albedo (texture coords rotated about z; rot=0 in v1
     # is exact — cos(0)=1/sin(0)=0 and the f32 products round back to p)
-    rot = scene.tex_rot[obj]
-    cr, sr = jnp.cos(rot), jnp.sin(rot)
-    pr = jnp.stack([p[..., 0] * cr - p[..., 1] * sr,
-                    p[..., 0] * sr + p[..., 1] * cr, p[..., 2]], axis=-1)
+    if v2:
+        rot = scene.tex_rot[obj]
+        cr, sr = jnp.cos(rot), jnp.sin(rot)
+        pr = jnp.stack([p[..., 0] * cr - p[..., 1] * sr,
+                        p[..., 0] * sr + p[..., 1] * cr, p[..., 2]], axis=-1)
+    else:
+        pr = p
     s = scene.tex_scale[obj][..., None]
     ps = pr * s
     checker = (jnp.floor(ps[..., 0]) + jnp.floor(ps[..., 1])
@@ -468,23 +490,25 @@ def _render_dirs(scene: Scene, d):
     marble = 0.5 + 0.5 * jnp.sin(
         ps[..., 0] * 3.1 + 2.0 * jnp.sin(ps[..., 1] * 2.2)
         + 1.3 * jnp.sin(ps[..., 2] * 2.7))
-    rings = 0.5 + 0.5 * jnp.sin(
-        6.0 * jnp.sqrt(ps[..., 0] ** 2 + ps[..., 1] ** 2 + 1e-12))
-    fr = ps - jnp.floor(ps) - 0.5
-    dots = (jnp.sum(fr * fr, axis=-1) < 0.09).astype(jnp.float32)
-    noise = 0.5 + 0.5 / 3.0 * (
-        jnp.sin(ps[..., 0] * 1.7 + ps[..., 1] * 2.3)
-        + jnp.sin(ps[..., 1] * 2.9 - ps[..., 2] * 1.1)
-        + jnp.sin(ps[..., 2] * 2.1 + ps[..., 0] * 3.3))
     tk = scene.tex_kind[obj]
+    if v2:
+        rings = 0.5 + 0.5 * jnp.sin(
+            6.0 * jnp.sqrt(ps[..., 0] ** 2 + ps[..., 1] ** 2 + 1e-12))
+        fr = ps - jnp.floor(ps) - 0.5
+        dots = (jnp.sum(fr * fr, axis=-1) < 0.09).astype(jnp.float32)
+        noise = 0.5 + 0.5 / 3.0 * (
+            jnp.sin(ps[..., 0] * 1.7 + ps[..., 1] * 2.3)
+            + jnp.sin(ps[..., 1] * 2.9 - ps[..., 2] * 1.1)
+            + jnp.sin(ps[..., 2] * 2.1 + ps[..., 0] * 3.3))
+        tail = jnp.where(tk == 3, marble,
+                         jnp.where(tk == 4, rings,
+                                   jnp.where(tk == 5, dots, noise)))
+    else:
+        tail = marble  # v1 draws tex_kind in 0..3 only
     m = jnp.where(
         tk == 0, 0.0,
         jnp.where(tk == 1, checker,
-                  jnp.where(tk == 2, stripes,
-                            jnp.where(tk == 3, marble,
-                                      jnp.where(tk == 4, rings,
-                                                jnp.where(tk == 5, dots,
-                                                          noise))))))[..., None]
+                  jnp.where(tk == 2, stripes, tail)))[..., None]
     c1 = scene.obj_c1[obj]
     c2 = scene.obj_c2[obj]
     # room faces get their own wall palette (texture modulates brightness)
@@ -497,30 +521,40 @@ def _render_dirs(scene: Scene, d):
     lam = jnp.abs(jnp.sum(n * d, axis=-1))
     atten = 1.0 / (1.0 + (t / 7.0) ** 2)
     shade = scene.ambient + (1.0 - scene.ambient) * lam * atten
-    # point light (v2; intensity 0 adds exactly 0): shadowless Lambertian
-    lvec = scene.light_p - p
-    ldist = jnp.maximum(jnp.linalg.norm(lvec, axis=-1), 1e-6)
-    lam2 = jnp.abs(jnp.sum(n * lvec, axis=-1)) / ldist
-    shade = shade + scene.light_i * lam2 / (1.0 + (ldist / 4.0) ** 2)
+    if v2:
+        # point light (intensity 0 adds exactly 0): shadowless Lambertian
+        lvec = scene.light_p - p
+        ldist = jnp.maximum(jnp.linalg.norm(lvec, axis=-1), 1e-6)
+        lam2 = jnp.abs(jnp.sum(n * lvec, axis=-1)) / ldist
+        shade = shade + scene.light_i * lam2 / (1.0 + (ldist / 4.0) ** 2)
     rgb = jnp.clip(albedo * shade[..., None], 0.0, 1.0)
     depth01 = jnp.clip(t * METERS_TO_01, 0.0, 1.0)
     return rgb, depth01
 
 
-def render_pano(scene: Scene, width: int, height: int = None):
+def render_pano(scene: Scene, width: int, height: int = None,
+                v2: bool = True):
     """Equirect render at (height, width); pixel grid matches the pipeline's
-    x/(W-1) * 2pi convention.  Returns (rgb, depth01)."""
+    x/(W-1) * 2pi convention.  Returns (rgb, depth01).
+
+    ``v2`` is a STATIC flag: False skips the v2 feature blocks (second
+    room, cylinders, texture rotation, textures 4-6, point light), which
+    are exact no-ops on v1 scenes — depth bit-identical, rgb within a few
+    ulps (XLA fma contraction differs between the graphs) — and
+    substantially faster when a whole batch is known to be v1."""
     height = height or width // 2
     azi = jnp.arange(width, dtype=jnp.float32) / (width - 1) * (2 * np.pi)
     zen = jnp.arange(height, dtype=jnp.float32) / (height - 1) * np.pi
     ag, zg = jnp.meshgrid(azi, zen)
     d = geometry.spherical_to_world(ag, zg, xp=jnp)
-    return _render_dirs(scene, d)
+    return _render_dirs(scene, d, v2)
 
 
-def render_view(scene: Scene, fov, height: int, width: int):
+def render_view(scene: Scene, fov, height: int, width: int,
+                v2: bool = True):
     """Perspective render through a gnomonic window (stage-A ray geometry:
-    pixel centers (i+0.5)/n, reference Main.cpp:242-294 viewing model)."""
+    pixel centers (i+0.5)/n, reference Main.cpp:242-294 viewing model).
+    ``v2`` as in :func:`render_pano`."""
     win = geometry.make_window(fov[0], fov[1], fov[2], fov[3], xp=jnp)
     xs = (jnp.arange(width, dtype=jnp.float32) + 0.5) / width
     ys = (jnp.arange(height, dtype=jnp.float32) + 0.5) / height
@@ -528,7 +562,7 @@ def render_view(scene: Scene, fov, height: int, width: int):
     pos = (win.corner0 + win.hedge * xg[..., None]
            + win.vedge * yg[..., None])
     d = pos / jnp.linalg.norm(pos, axis=-1, keepdims=True)
-    return _render_dirs(scene, d)
+    return _render_dirs(scene, d, v2)
 
 
 def sample_view_fov(rng: np.random.RandomState) -> np.ndarray:
@@ -556,12 +590,13 @@ def synth_batches(batch_size: int, kind: str = "perspective",
 
     rng = np.random.RandomState(seed)
     kw = dict(out_shardings=sharding) if sharding is not None else {}
+    use_v2 = version not in (1, "1", "v1")  # static: skip v2 math for v1
 
     if kind == "perspective":
         @jax.jit
         def render(scenes, fovs):
             rgb, dep = jax.vmap(
-                lambda s, f: render_view(s, f, view_size, view_size)
+                lambda s, f: render_view(s, f, view_size, view_size, use_v2)
             )(scenes, fovs)
             return rgb, dep, jnp.ones_like(dep, bool)
 
@@ -577,7 +612,8 @@ def synth_batches(batch_size: int, kind: str = "perspective",
         h, w = pano_width // 2, pano_width
 
         def render(scenes):
-            rgb, dep = jax.vmap(lambda s: render_pano(s, w, h))(scenes)
+            rgb, dep = jax.vmap(
+                lambda s: render_pano(s, w, h, use_v2))(scenes)
             return rgb, dep, jnp.ones_like(dep, bool)
 
         render = jax.jit(render, **kw)
@@ -611,7 +647,8 @@ def write_dataset(outdir: str, count: int, width: int = 2048,
         sample_scene(rng, version)  # (seed, start) slices one disjoint stream
     os.makedirs(os.path.join(outdir, "rgb"), exist_ok=True)
     os.makedirs(os.path.join(outdir, "gt"), exist_ok=True)
-    render = jax.jit(lambda s: render_pano(s, width))
+    use_v2 = version not in (1, "1", "v1")
+    render = jax.jit(lambda s: render_pano(s, width, v2=use_v2))
     for i in range(count):
         scene = sample_scene(rng, version)
         rgb, dep = render(jax.tree.map(jnp.asarray, scene))

@@ -191,6 +191,48 @@ def test_v2_render_valid_over_seeds():
         assert dep.min() > 1e-3 and dep.max() < 1.0
 
 
+def test_v1_fast_path_matches_full():
+    """render with v2=False (static skip of the v2 feature blocks) on v1
+    scenes: depth bit-identical, rgb within 2 ulps (the skipped blocks are
+    exact no-ops, but XLA's fma contraction differs between the two jit
+    graphs) — it's the fast path synth_batches/evaluate use when the whole
+    stream is known v1."""
+    rng = np.random.RandomState(5)
+    for _ in range(3):
+        scene = _dev(synth.sample_scene(rng))
+        full = jax.jit(lambda s: synth.render_pano(s, 96))(scene)
+        fast = jax.jit(lambda s: synth.render_pano(s, 96, v2=False))(scene)
+        np.testing.assert_array_equal(np.asarray(full[1]),
+                                      np.asarray(fast[1]))
+        np.testing.assert_allclose(np.asarray(full[0]),
+                                   np.asarray(fast[0]), rtol=0, atol=1e-6)
+
+
+def test_v2_sampler_invariants():
+    """Placement must never break the documented invariants: objects keep
+    >= 0.45 m camera clearance (no camera-inside-object scenes), cylinder
+    centers satisfy |c_xy| > r (the renderer's near-vertical-ray
+    assumption), and room 2's cross-section stays inside room 1's face
+    (doorway-only opening, no slot windows)."""
+    for seed in range(300):
+        s = synth.sample_scene(np.random.RandomState(seed), "v2")
+        for on, c, r in zip(s.sph_on, s.sph_c, s.sph_r):
+            if on:
+                assert np.linalg.norm(c) > r + 0.44
+        for on, lo, hi in zip(s.box_on, s.box_lo, s.box_hi):
+            if on:  # camera (origin) strictly outside every active box
+                assert (lo > 0).any() or (hi < 0).any()
+        for on, c, r in zip(s.cyl_on, s.cyl_c, s.cyl_r):
+            if on:
+                assert np.linalg.norm(c) > r + 0.44
+        if s.room2_on:
+            assert s.room2_hi[2] <= s.room_hi[2] + 1e-6
+            inside = [(s.room2_lo[a] >= s.room_lo[a] - 1e-6
+                       and s.room2_hi[a] <= s.room_hi[a] + 1e-6)
+                      for a in (0, 1)]
+            assert sum(inside) >= 1  # the non-attach axis is clamped
+
+
 def test_synth_batches_v2_and_mix():
     a = next(synth.synth_batches(2, "pano", pano_width=64, seed=9,
                                  version="v2"))
