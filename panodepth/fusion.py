@@ -52,7 +52,8 @@ import numpy as np
 
 from . import geometry
 from .config import MergeConfig
-from .ops.sampling import sample_equirect_nearest, sample_unit_nearest
+from .ops.sampling import (as01_post, sample_equirect_nearest,
+                           sample_unit_nearest)
 
 TWO_PI = 2.0 * np.pi
 
@@ -257,7 +258,7 @@ def level_target(pmaps, plan: FusionPlan, lvl_idx: int, abcd=None):
                                    tuple(pmaps[v].shape[-2:]))
         if idx is None:
             continue
-        slab = jnp.take(pmaps[v].reshape(-1), jnp.asarray(idx))
+        slab = as01_post(jnp.take(pmaps[v].reshape(-1), jnp.asarray(idx)))
         if abcd is not None:
             slab = apply_cubic(slab, abcd[v])
         lap = slab[1:-1, 1:-1] - 0.25 * (
@@ -277,10 +278,10 @@ def init_level0(emap, lvl: LevelPlan, cfg: MergeConfig = None):
     emap2d = emap if emap.ndim == 2 else emap[..., 0]
     if cfg is not None:
         idx = _level0_gather_indices(cfg, tuple(emap2d.shape))
-        vals = jnp.take(emap2d.reshape(-1), jnp.asarray(idx))
+        vals = as01_post(jnp.take(emap2d.reshape(-1), jnp.asarray(idx)))
     else:
         azi, zen = _pixel_coords(lvl.width, lvl.height)
-        vals = sample_equirect_nearest(emap2d, azi, zen)
+        vals = as01_post(sample_equirect_nearest(emap2d, azi, zen))
     yg = jax.lax.broadcasted_iota(jnp.int32, (lvl.height, lvl.width), 0)
     in_band = (yg >= lvl.height0) & (yg <= lvl.height1)
     return jnp.where(in_band, vals, 0.0).astype(jnp.float32)
@@ -355,7 +356,7 @@ def solve_depth_by_smoothing(pmaps, plan: FusionPlan, iterations: int = 500,
         idx = _view_gather_indices(plan.cfg, lvl_idx, v, pmap_shape)
         if idx is None:
             continue
-        slab = jnp.take(pmaps[v].reshape(-1), jnp.asarray(idx))
+        slab = as01_post(jnp.take(pmaps[v].reshape(-1), jnp.asarray(idx)))
         # slab covers [y_lo_band-1, ...]; re-gather the unclamped rows
         xs = np.arange(x_lo, x_hi + 1)
         ys = np.arange(max(y0, 0), min(y1, h - 1) + 1)
@@ -370,8 +371,9 @@ def solve_depth_by_smoothing(pmaps, plan: FusionPlan, iterations: int = 500,
                       pw - 1)
         pyi = np.clip((np.clip(py, 0, 1) * (ph - 1)).astype(np.int64), 0,
                       ph - 1)
-        vals = jnp.take(pmaps[v].reshape(-1),
-                        jnp.asarray((pyi * pw + pxi).astype(np.int32)))
+        vals = as01_post(jnp.take(
+            pmaps[v].reshape(-1),
+            jnp.asarray((pyi * pw + pxi).astype(np.int32))))
         buf = buf.at[ys[0] : ys[-1] + 1, x_lo : x_hi + 1].set(vals)
         near = np.zeros((h, w), bool)
         near[ys[0] : ys[-1] + 1, x_lo : x_hi + 1] = True

@@ -22,6 +22,22 @@ import numpy as np
 TWO_PI = 2.0 * np.pi
 
 
+def as01_post(x):
+    """u16 -> f32 0~1 normalization AFTER a gather (no-op on floats).
+
+    Gather and pointwise normalization commute exactly (u16 fits f32's
+    mantissa), so streamed uint16 emaps/pmaps can stay 16-bit through the
+    big slab gathers — halving their HBM read traffic (XLA TPU gather cost
+    scales with gathered element width) — and normalize on the smaller
+    gathered slabs.  Element-for-element the same k/65535 as normalizing
+    the full table first (within 1 u16 of output wiggle from XLA fusing
+    the graphs with different fma contraction).
+    """
+    if x.dtype == jnp.uint16:
+        return x.astype(jnp.float32) / 65535.0
+    return x
+
+
 def _trunc_index(v, n, xp):
     """C-style (int) cast of ``v`` expected in [0, n-1], then clip."""
     idx = v.astype(jnp.int32) if xp is jnp else v.astype(np.int32)

@@ -49,9 +49,12 @@ def merge_arrays(emap, pmaps, cfg: MergeConfig, jacobi_fn=None):
     """Device core: baseline emap + V perspective depths -> fused u16 pano.
 
     Returns (out_u16 (H, W), abcd (V, 4)).  Pure function of arrays (f32
-    0~1, or uint16 via :func:`_as01`); jit it via :func:`compiled_merge`.
+    0~1, or streamed uint16); jit it via :func:`compiled_merge`.
+
+    uint16 inputs stay 16-bit through the registration and fusion slab
+    gathers and normalize post-gather (``ops.sampling.as01_post`` — exact,
+    and half the gather HBM traffic of an f32 table).
     """
-    emap, pmaps = _as01(emap), _as01(pmaps)
     abcd = registration.register_views(emap, pmaps, cfg)
     plan = build_fusion_plan(cfg)
     # the cubic remap is fused into the slab gathers (abcd=) instead of

@@ -37,7 +37,8 @@ import numpy as np
 
 from . import geometry
 from .config import MergeConfig
-from .ops.sampling import sample_equirect_nearest, sample_unit_nearest
+from .ops.sampling import (as01_post, sample_equirect_nearest,
+                           sample_unit_nearest)
 
 TWO_PI = 2.0 * np.pi
 CLAMP_LO = 1e-4
@@ -164,15 +165,15 @@ def register_views(emap, pmaps, cfg: MergeConfig):
             hp, wp = pm.shape[-2:]
             pxi = np.clip((g.xy_x[v] * (wp - 1)).astype(np.int32), 0, wp - 1)
             pyi = np.clip((g.xy_y[v] * (hp - 1)).astype(np.int32), 0, hp - 1)
-            cols.append(pm[pyi, pxi])
+            cols.append(as01_post(pm[pyi, pxi]))
         d0 = _clamp(jnp.stack(cols))
     else:
         nv, hp, wp = pmaps.shape
         pxi = np.clip((g.xy_x * (wp - 1)).astype(np.int32), 0, wp - 1)
         pyi = np.clip((g.xy_y * (hp - 1)).astype(np.int32), 0, hp - 1)
         vidx = np.arange(nv, dtype=np.int32)[:, None, None]
-        d0 = _clamp(pmaps[vidx, pyi, pxi])
-    d1 = _clamp(emap2d[eyi, exi])
+        d0 = _clamp(as01_post(pmaps[vidx, pyi, pxi]))
+    d1 = _clamp(as01_post(emap2d[eyi, exi]))
     w = jnp.asarray(g.weight, jnp.float32)
     return jax.vmap(fit_cubic)(d0.astype(jnp.float32),
                                d1.astype(jnp.float32), w)

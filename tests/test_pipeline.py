@@ -279,3 +279,35 @@ def test_merge_many_u16_streaming_bound(scene_files):
         outs[mode] = res[0].out_u16.astype(np.int64)
     delta = np.abs(outs["on"] - outs["off"])
     assert delta.max() <= 1, f"u16 streaming delta {delta.max()}"
+
+
+def test_u16_post_gather_normalize_exact(scene_files):
+    """Keeping uint16 tables through the registration/fusion gathers and
+    normalizing post-gather (ops.sampling.as01_post) matches normalizing
+    the full table on-device first within 1 u16 — the k/65535 commutes with
+    the gather element-for-element; the residual 1-ulp wiggle is XLA fusing
+    the two graphs with different fma contraction, same bound as the
+    streaming test above.  The fit coefficients see identical sample
+    values, so they agree to compilation-level ulps (far inside the 5e-4
+    oracle tolerance of test_registration)."""
+    import jax
+
+    from panodepth.pipeline import merge_arrays
+
+    cfg = scene_files["cfg"]
+    rng = np.random.RandomState(3)
+    v = cfg.layout.num_views
+    emap_u16 = rng.randint(0, 65536, (128, 256)).astype(np.uint16)
+    pmaps_u16 = rng.randint(0, 65536, (v, 96, 128)).astype(np.uint16)
+
+    fn = jax.jit(lambda e, p: merge_arrays(e, p, cfg))
+    out_u16, abcd_u16 = fn(jnp.asarray(emap_u16), jnp.asarray(pmaps_u16))
+    # pre-normalized on device with the identical k/65535
+    e01 = jnp.asarray(emap_u16).astype(jnp.float32) / 65535.0
+    p01 = jnp.asarray(pmaps_u16).astype(jnp.float32) / 65535.0
+    out_f32, abcd_f32 = fn(e01, p01)
+    delta = np.abs(np.asarray(out_u16).astype(np.int64)
+                   - np.asarray(out_f32).astype(np.int64))
+    assert delta.max() <= 1, f"post-gather normalize delta {delta.max()}"
+    np.testing.assert_allclose(np.asarray(abcd_u16),
+                               np.asarray(abcd_f32), rtol=0, atol=1e-5)
