@@ -100,6 +100,38 @@ def _clamp(v):
     return jnp.clip(v, CLAMP_LO, CLAMP_HI)
 
 
+def _householder_solve4(A, b):
+    """Least-squares solve of an (S, 4) system by Householder QR, written
+    in pure jnp arithmetic — no LAPACK/FFI custom calls, so the graph
+    AOT-exports (``panodepth.serve``) and lowers natively on TPU (where a
+    4-column hand-unrolled QR also beats the generic decomposition).
+    Returns a ``solve(rhs)`` closure reusing the factorization."""
+    n = A.shape[0]
+    R, reflectors = A, []
+    for k in range(4):
+        col = jnp.where(jnp.arange(n) >= k, R[:, k], 0.0)
+        normx = jnp.sqrt(jnp.sum(col * col))
+        sign = jnp.where(R[k, k] >= 0, 1.0, -1.0)
+        v = col.at[k].add(sign * normx)   # x - alpha e_k, alpha = -sign|x|
+        scale = 2.0 / jnp.maximum(jnp.sum(v * v), 1e-38)
+        reflectors.append((v, scale))
+        R = R - scale * jnp.outer(v, v @ R)
+
+    def solve(rhs):
+        y = rhs
+        for v, scale in reflectors:
+            y = y - scale * v * jnp.dot(v, y)
+        safe = lambda d: jnp.where(jnp.abs(d) < 1e-38, 1e-38, d)
+        x3 = y[3] / safe(R[3, 3])
+        x2 = (y[2] - R[2, 3] * x3) / safe(R[2, 2])
+        x1 = (y[1] - R[1, 2] * x2 - R[1, 3] * x3) / safe(R[1, 1])
+        x0 = (y[0] - R[0, 1] * x1 - R[0, 2] * x2 - R[0, 3] * x3) \
+            / safe(R[0, 0])
+        return jnp.stack([x0, x1, x2, x3])
+
+    return solve
+
+
 def fit_cubic(x, y, weight):
     """Weighted LSQ fit of y ~ a x^3 + b x^2 + c x + d.  Returns (4,) abcd.
 
@@ -119,8 +151,7 @@ def fit_cubic(x, y, weight):
     Vw = V * w[:, None]
     yw = y * w
     # Householder QR (stable, no singular-value cutoff) + one refinement step
-    Q, R = jnp.linalg.qr(Vw)
-    solve = lambda rhs: jax.scipy.linalg.solve_triangular(R, Q.T @ rhs)
+    solve = _householder_solve4(Vw, yw)
     beta = solve(yw)
     beta = beta + solve(yw - Vw @ beta)
     a, b, c, d = beta
