@@ -156,7 +156,11 @@ def load_model_checkpoint(ckpt_path: str, norm_dtype=None):
         sample = jnp.zeros((1, pw // 2, pw, 3))
 
     if is_npz:
-        template = model.init(jax.random.PRNGKey(0), sample)
+        # shapes-only template: the npz loader needs tree structure and
+        # leaf shapes, so eval_shape avoids compiling (and on tunneled
+        # backends, remotely executing) a throwaway init graph
+        template = jax.eval_shape(
+            functools.partial(model.init, jax.random.PRNGKey(0)), sample)
         return model, ptrain.load_params_npz(ckpt_path, template), arch
     tx = ptrain.make_optimizer()
     template = ptrain.init_state(model, jax.random.PRNGKey(0), sample, tx)
@@ -223,7 +227,7 @@ def build_batched_e2e(persp_model, persp_params, cfg: MergeConfig,
 
     on_tpu = jax.default_backend() == "tpu"
 
-    def models_stage(rgbs, baselines=None):
+    def models_stage(pparams, bparams, rgbs, baselines=None):
         from .ops.sampling import (pack_rgb_u32,
                                    sample_equirect_bilinear_packed)
 
@@ -234,7 +238,7 @@ def build_batched_e2e(persp_model, persp_params, cfg: MergeConfig,
                       else rgbs01.astype(jnp.bfloat16))
             rb = jax.vmap(lambda r: jax.image.resize(
                 r, (base_w // 2, base_w, 3), "bilinear"))(rb_src)
-            baselines = base_model.apply(base_params, rb)
+            baselines = base_model.apply(bparams, rb)
         else:
             baselines = _as01_img(baselines)
         sampler = None
@@ -261,7 +265,7 @@ def build_batched_e2e(persp_model, persp_params, cfg: MergeConfig,
             if (nh, nw) != (h, w):
                 flat = jax.image.resize(flat, (flat.shape[0], nh, nw, 3),
                                         "bilinear")
-            depths = predict_depth01(persp_params, persp_model, flat)
+            depths = predict_depth01(pparams, persp_model, flat)
             if (nh, nw) != (h, w):
                 depths = jax.image.resize(depths, (depths.shape[0], h, w),
                                           "bilinear")
@@ -278,21 +282,38 @@ def build_batched_e2e(persp_model, persp_params, cfg: MergeConfig,
 
         return jax.vmap(one)(baselines, pmaps)
 
-    def full(*args):
-        baselines, pmaps = models_stage(*args)
+    def full(pparams, bparams, *args):
+        baselines, pmaps = models_stage(pparams, bparams, *args)
         out_u16, _ = fuse_stage(baselines, pmaps)
         return out_u16, baselines
 
+    # The model params are jit ARGUMENTS, not baked-in constants: the
+    # compiled graph (and the persistent compilation-cache entry) is then
+    # shared by every checkpoint of the same architecture — swapping
+    # weights costs zero recompiles, which matters doubly on tunneled
+    # backends where remote compiles take minutes.  The returned callables
+    # keep the rgbs[, baselines]-only signature.
     if mesh is None:
-        return jax.jit(full), jax.jit(models_stage), jax.jit(fuse_stage)
-    from jax.sharding import NamedSharding, PartitionSpec as P
+        jfull, jmodels = jax.jit(full), jax.jit(models_stage)
+        jfuse = jax.jit(fuse_stage)
+    else:
+        from jax.sharding import NamedSharding, PartitionSpec as P
 
-    # a single batch-axis sharding works as a pytree prefix for every
-    # argument/result (rgbs, baselines, per-view pmap lists, u16 outputs)
-    dp = NamedSharding(mesh, P("dp"))
-    return (jax.jit(full, in_shardings=dp, out_shardings=dp),
-            jax.jit(models_stage, in_shardings=dp, out_shardings=dp),
-            jax.jit(fuse_stage, in_shardings=dp, out_shardings=dp))
+        # batch-axis sharding as a pytree prefix for every data
+        # argument/result (rgbs, baselines, per-view pmap lists, u16
+        # outputs); params replicate
+        dp = NamedSharding(mesh, P("dp"))
+        repl = NamedSharding(mesh, P())
+        # arity: (pparams, bparams, rgbs[, baselines]) — a baselines stack
+        # is passed exactly when there is no baseline model
+        in_sh = (repl, repl) + (dp,) * (1 if base_model is not None else 2)
+        jfull = jax.jit(full, in_shardings=in_sh, out_shardings=dp)
+        jmodels = jax.jit(models_stage, in_shardings=in_sh,
+                          out_shardings=dp)
+        jfuse = jax.jit(fuse_stage, in_shardings=dp, out_shardings=dp)
+    return (lambda *a: jfull(persp_params, base_params, *a),
+            lambda *a: jmodels(persp_params, base_params, *a),
+            jfuse)
 
 
 def run_batch_e2e(rgb_folder: str, gt_folder: str, result_folder: str,
