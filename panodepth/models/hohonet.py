@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .norm import GroupNorm
 from .perspective import ResBlock, _groups
 
 
@@ -86,9 +87,8 @@ class HorizonDepthNet(nn.Module):
             s = min(4, x.shape[1])
             x = nn.Conv(self.horizon_dim, (s, 1), (s, 1), use_bias=False,
                         dtype=self.dtype)(x)
-            x = nn.GroupNorm(num_groups=_groups(self.horizon_dim),
-                             dtype=self.norm_dtype)(x)
-            x = nn.relu(x)
+            x = GroupNorm(num_groups=_groups(self.horizon_dim),
+                          dtype=self.norm_dtype, fuse_relu=True)(x)
         seq = x[:, 0]  # (B, W/16, C)
 
         for _ in range(self.attn_blocks):
@@ -103,8 +103,7 @@ class HorizonDepthNet(nn.Module):
             bb, hh, ww, cc = y.shape
             y = jax.image.resize(y, (bb, hh * 2, ww * 2, cc), "nearest")
             y = nn.Conv(width, (3, 3), use_bias=False, dtype=self.dtype)(y)
-            y = nn.GroupNorm(num_groups=_groups(width),
-                             dtype=self.norm_dtype)(y)
-            y = nn.relu(y)
+            y = GroupNorm(num_groups=_groups(width),
+                          dtype=self.norm_dtype, fuse_relu=True)(y)
         y = nn.Conv(1, (1, 1), dtype=jnp.float32)(y)
         return nn.sigmoid(y[..., 0])

@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.cubemap import cubemap_to_equirect, equirect_to_cubemap
+from .norm import GroupNorm
 from .perspective import ResBlock, _groups
 
 
@@ -52,9 +53,8 @@ class UniFuseBlock(nn.Module):
     def __call__(self, equi_feat, cube_feat_equi):
         z = jnp.concatenate([equi_feat, cube_feat_equi], axis=-1)
         z = nn.Conv(self.features, (3, 3), use_bias=False, dtype=self.dtype)(z)
-        z = nn.GroupNorm(num_groups=_groups(self.features),
-                         dtype=self.norm_dtype)(z)
-        z = nn.relu(z)
+        z = GroupNorm(num_groups=_groups(self.features),
+                      dtype=self.norm_dtype, fuse_relu=True)(z)
         z = SEGate(self.features, dtype=self.dtype)(z)
         return equi_feat + z
 
@@ -100,9 +100,8 @@ class PanoBaselineNet(nn.Module):
             y = jax.image.resize(y, (bb, hh * 2, ww * 2, cc), "nearest")
             y = nn.Conv(skip.shape[-1], (3, 3), use_bias=False,
                         dtype=self.dtype)(y)
-            y = nn.GroupNorm(num_groups=_groups(skip.shape[-1]),
-                             dtype=self.norm_dtype)(y)
-            y = nn.relu(y)
+            y = GroupNorm(num_groups=_groups(skip.shape[-1]),
+                          dtype=self.norm_dtype, fuse_relu=True)(y)
             y = y + skip
         bb, hh, ww, cc = y.shape
         y = jax.image.resize(y, (bb, hh * 2, ww * 2, cc), "bilinear")

@@ -23,6 +23,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from .norm import GroupNorm
+
 
 def _groups(channels: int, target: int = 32) -> int:
     """A divisor of ``channels`` close to ``target`` (for GroupNorm)."""
@@ -37,11 +39,11 @@ class ResBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        gn = lambda: nn.GroupNorm(num_groups=_groups(self.features),
-                                  dtype=self.norm_dtype)
+        gn = lambda **kw: GroupNorm(num_groups=_groups(self.features),
+                                    dtype=self.norm_dtype, **kw)
         y = nn.Conv(self.features, (3, 3), (self.stride, self.stride),
                     use_bias=False, dtype=self.dtype)(x)
-        y = nn.relu(gn()(y))
+        y = gn(fuse_relu=True)(y)
         y = nn.Conv(self.features, (3, 3), use_bias=False, dtype=self.dtype)(y)
         y = gn()(y)
         if x.shape[-1] != self.features or self.stride != 1:
@@ -95,9 +97,8 @@ class PerspectiveDepthNet(nn.Module):
         x = x.astype(self.dtype)
         x = nn.Conv(self.widths[0] // 2, (7, 7), (2, 2), use_bias=False,
                     dtype=self.dtype)(x)
-        x = nn.GroupNorm(num_groups=_groups(x.shape[-1]),
-                         dtype=self.norm_dtype)(x)
-        x = nn.relu(x)
+        x = GroupNorm(num_groups=_groups(x.shape[-1]),
+                      dtype=self.norm_dtype, fuse_relu=True)(x)
 
         skips = []
         for i, (blocks, width) in enumerate(zip(self.stage_sizes, self.widths)):

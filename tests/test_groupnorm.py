@@ -1,0 +1,116 @@
+"""Fused Pallas GroupNorm kernel + drop-in module equivalence.
+
+The kernel must match flax ``nn.GroupNorm`` (f32 stats from the bf16
+input, ``E[x^2]-E[x]^2`` variance, affine in f32, one cast at the end) —
+tolerance covers only the banded-vs-tree f32 summation order.  The
+module's fallback path must be bit-exact with stock ``nn.GroupNorm`` so
+training and non-TPU inference are unchanged.
+"""
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from panodepth.kernels import groupnorm
+from panodepth.models import norm as pnorm
+
+
+def _flax_gn(x, scale, bias, groups, dtype):
+    gn = nn.GroupNorm(num_groups=groups, dtype=dtype)
+    return gn.apply({"params": {"scale": scale, "bias": bias}}, x)
+
+
+@pytest.mark.parametrize("shape,groups", [
+    ((2, 32, 32, 64), 32),     # single band, group size 2
+    ((1, 128, 128, 128), 32),  # banded (f32 band budget), group size 4
+    ((2, 16, 16, 32), 32),     # group size 1 (per-channel stats)
+    ((3, 48, 256), 32),        # rank-3 (hohonet horizon features)
+])
+def test_kernel_matches_flax_bf16(shape, groups):
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.normal(0.3, 1.7, shape).astype(np.float32)
+                    ).astype(jnp.bfloat16)
+    c = shape[-1]
+    scale = jnp.asarray(rng.uniform(0.5, 2.0, c).astype(np.float32))
+    bias = jnp.asarray(rng.uniform(-1, 1, c).astype(np.float32))
+
+    assert groupnorm.supported(shape, groups)
+    got = groupnorm.group_norm(x, scale, bias, groups,
+                               out_dtype=jnp.bfloat16, interpret=True)
+    want = _flax_gn(x, scale, bias, groups, jnp.bfloat16)
+    assert got.dtype == want.dtype == jnp.bfloat16
+    # bf16 outputs: identical up to the final-rounding flip from the f32
+    # summation-order difference (<= 2 bf16 ulps, magnitude-relative)
+    g = got.astype(np.float32)
+    w = want.astype(np.float32)
+    diff = np.abs(np.asarray(g) - np.asarray(w))
+    tol = 2 ** -7 * np.maximum(1.0, np.abs(np.asarray(w)))
+    assert float((diff - tol).max()) <= 0, float(diff.max())
+    assert (np.asarray(got) == np.asarray(want)).mean() > 0.98
+
+
+def test_kernel_relu_fusion():
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.normal(0, 1, (2, 16, 16, 64)).astype(np.float32)
+                    ).astype(jnp.bfloat16)
+    scale = jnp.ones(64)
+    bias = jnp.zeros(64)
+    got = groupnorm.group_norm(x, scale, bias, 32, relu=True,
+                               out_dtype=jnp.bfloat16, interpret=True)
+    plain = groupnorm.group_norm(x, scale, bias, 32, relu=False,
+                                 out_dtype=jnp.bfloat16, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got),
+                                  np.asarray(jnp.maximum(plain, 0)))
+
+
+def test_supported_gates():
+    assert not groupnorm.supported((2, 64), 32)           # rank 2
+    assert not groupnorm.supported((2, 3, 5, 64), 32)     # HW % 16
+    assert not groupnorm.supported((2, 16, 16, 48), 32)   # C % groups
+    assert not groupnorm.supported((1, 512, 512, 32), 32)  # block too big
+    assert groupnorm.supported((1, 128, 128, 128), 32)
+
+
+def test_module_fallback_bitexact_with_flax():
+    """Off-TPU (and in f32 training config) the module IS nn.GroupNorm."""
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.normal(0, 1, (2, 24, 24, 64)).astype(np.float32))
+    for dtype in (jnp.float32, jnp.bfloat16):
+        ours = pnorm.GroupNorm(num_groups=32, dtype=dtype)
+        ref = nn.GroupNorm(num_groups=32, dtype=dtype)
+        p = ref.init(jax.random.PRNGKey(0), x)
+        np.testing.assert_array_equal(np.asarray(ours.apply(p, x)),
+                                      np.asarray(ref.apply(p, x)))
+
+
+def test_module_fused_path_matches_flax(monkeypatch):
+    monkeypatch.setattr(pnorm, "_FORCE_INTERPRET", True)
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.normal(0.2, 1.1, (2, 24, 24, 64)).astype(np.float32)
+                    ).astype(jnp.bfloat16)
+    ours = pnorm.GroupNorm(num_groups=32, dtype=jnp.bfloat16)
+    ref = nn.GroupNorm(num_groups=32, dtype=jnp.bfloat16)
+    p = ref.init(jax.random.PRNGKey(0), x)  # same param tree both ways
+    got = ours.apply(p, x)
+    want = ref.apply(p, x)
+    diff = np.abs(np.asarray(got, np.float32) - np.asarray(want, np.float32))
+    assert float(diff.max()) <= 0.016
+
+    fused = pnorm.GroupNorm(num_groups=32, dtype=jnp.bfloat16,
+                            fuse_relu=True)
+    np.testing.assert_array_equal(
+        np.asarray(fused.apply(p, x)),
+        np.asarray(jnp.maximum(got, 0)))
+
+
+def test_module_fuse_relu_fallback_path():
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.normal(0, 1, (2, 24, 24, 64)).astype(np.float32))
+    fused = pnorm.GroupNorm(num_groups=32, fuse_relu=True)
+    ref = nn.GroupNorm(num_groups=32)
+    p = ref.init(jax.random.PRNGKey(0), x)
+    np.testing.assert_array_equal(
+        np.asarray(fused.apply(p, x)),
+        np.asarray(nn.relu(ref.apply(p, x))))
