@@ -137,6 +137,9 @@ def group_norm(x, scale, bias, num_groups: int, eps: float = 1e-6,
     the activation into the same pass.  Inference-only (no VJP).
     """
     shape = x.shape
+    if not supported(shape, num_groups):
+        raise ValueError(f"unsupported GroupNorm shape {shape} "
+                         f"(groups={num_groups}); gate on supported()")
     n, c = shape[0], shape[-1]
     hw = 1
     for d in shape[1:-1]:
