@@ -164,9 +164,25 @@ def bench_e2e() -> None:
 
 
 def main() -> None:
+    # Watchdog: the tunneled TPU backend can wedge hard (device transfers
+    # and compiles block forever after a client is killed mid-RPC).  A
+    # bench that hangs is worse than one that fails — alarm out with an
+    # explicit error line instead.
+    import signal
+
+    def _abort(signum, frame):
+        print(json.dumps({
+            "metric": "bench_error", "value": 0.0, "unit": "error",
+            "vs_baseline": 0.0,
+            "error": "timed out (wedged TPU tunnel?)"}), flush=True)
+        os._exit(2)
+
+    signal.signal(signal.SIGALRM, _abort)
+    signal.alarm(int(os.environ.get("BENCH_TIMEOUT_S", "2400")))
     bench_merge(2048, BATCH)
     bench_merge(4096, BATCH)  # batch 16 is the 4096 sweet spot too (5.6x b1)
     bench_e2e()
+    signal.alarm(0)
 
 
 if __name__ == "__main__":
