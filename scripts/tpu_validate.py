@@ -6,7 +6,13 @@ Mosaic lowering and prints one JSON line per check:
 
     {"check": ..., "ok": bool, "max_diff": ...}
 
-Usage:  python scripts/tpu_validate.py
+With ``--bench`` it also times each kernel against the XLA path it
+replaces (and, when the zoo is present, A/Bs the fused GroupNorm through
+the full batched e2e graph), emitting::
+
+    {"bench": ..., "fused_ms": ..., "xla_ms": ..., "speedup": ...}
+
+Usage:  python scripts/tpu_validate.py [--bench]
 """
 
 from __future__ import annotations
@@ -102,12 +108,100 @@ def check_packed_sampling() -> bool:
     return ok
 
 
+def _sync(out) -> float:
+    # tunneled backends (axon) return from block_until_ready before remote
+    # execution finishes; a host readback is the only true fence
+    return float(jnp.sum(jnp.asarray(out, jnp.float32)))
+
+
+def _time_ms(fn, reps: int = 20, trials: int = 5) -> float:
+    """Median per-call milliseconds; enqueue ``reps`` then fence once."""
+    import time
+
+    _sync(fn())  # compile + warm
+    vals = []
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(reps):
+            out = fn()
+        _sync(out)
+        vals.append((time.perf_counter() - t0) / reps * 1e3)
+    return float(np.median(vals))
+
+
+def bench_groupnorm() -> None:
+    """Fused-GN kernel vs the stock flax/XLA lowering, per e2e shape."""
+    from panodepth.kernels import groupnorm
+
+    rng = np.random.RandomState(3)
+    for shape, groups in [((120, 128, 128, 32), 32), ((120, 64, 64, 64), 32),
+                          ((120, 32, 32, 128), 32), ((8, 128, 256, 32), 32)]:
+        c = shape[-1]
+        x = jnp.asarray(rng.normal(0, 1, shape).astype(np.float32)
+                        ).astype(jnp.bfloat16)
+        scale = jnp.ones((c,), jnp.float32)
+        bias = jnp.zeros((c,), jnp.float32)
+        fused = jax.jit(lambda x: groupnorm.group_norm(
+            x, scale, bias, groups, relu=True))
+        gn = nn.GroupNorm(num_groups=groups, dtype=jnp.bfloat16)
+        variables = {"params": {"scale": scale, "bias": bias}}
+        xla = jax.jit(lambda x: nn.relu(gn.apply(variables, x)))
+        f_ms, x_ms = _time_ms(lambda: fused(x)), _time_ms(lambda: xla(x))
+        print(json.dumps({"bench": f"groupnorm_{'x'.join(map(str, shape))}",
+                          "fused_ms": round(f_ms, 4),
+                          "xla_ms": round(x_ms, 4),
+                          "speedup": round(x_ms / f_ms, 3)}), flush=True)
+
+
+def bench_e2e_groupnorm_ab() -> None:
+    """Full batched e2e graph (zoo weights) with the fused GN off vs on."""
+    zoo = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "zoo")
+    persp = os.path.join(zoo, "perspective_final.params.npz")
+    base = os.path.join(zoo, "panoramic_final.params.npz")
+    if not (os.path.exists(persp) and os.path.exists(base)):
+        print(json.dumps({"bench": "e2e_groupnorm_ab",
+                          "note": "zoo missing, skipped"}), flush=True)
+        return
+    from panodepth.config import MergeConfig
+    from panodepth.e2e import build_batched_e2e, load_model_checkpoint
+
+    cfg = MergeConfig(out_width=2048)
+    nd = jnp.bfloat16 if jax.default_backend() == "tpu" else None
+    pm, pp, pa = load_model_checkpoint(persp, norm_dtype=nd)
+    bm, bp, ba = load_model_checkpoint(base, norm_dtype=nd)
+    rgbs = jnp.asarray(np.random.RandomState(4).randint(
+        0, 256, (8, 1024, 2048, 3)).astype(np.uint8))
+    res = {}
+    for label, flag in [("off", "0"), ("on", "1")]:
+        os.environ["PANODEPTH_FUSED_GN"] = flag
+        fn, _, _ = build_batched_e2e(
+            pm, pp, cfg, view_width=pa.get("view_size", 512),
+            base_model=bm, base_params=bp, base_w=ba.get("pano_width", 512))
+        res[label] = _time_ms(lambda: fn(rgbs)[0], reps=4, trials=5) / 8
+    os.environ.pop("PANODEPTH_FUSED_GN", None)
+    print(json.dumps({"bench": "e2e_groupnorm_ab_b8",
+                      "off_ms_per_pano": round(res["off"], 3),
+                      "on_ms_per_pano": round(res["on"], 3),
+                      "speedup": round(res["off"] / res["on"], 3)}),
+          flush=True)
+
+
 def main() -> int:
     print(f"backend: {jax.default_backend()}", file=sys.stderr, flush=True)
     ok = True
     ok &= check_jacobi()
     ok &= check_groupnorm()
     ok &= check_packed_sampling()
+    if "--bench" in sys.argv[1:]:
+        if jax.default_backend() != "tpu":
+            print(json.dumps({"bench": "skipped",
+                              "note": "--bench needs the real TPU"}),
+                  flush=True)
+        else:
+            bench_groupnorm()
+            bench_e2e_groupnorm_ab()
     return 0 if ok else 1
 
 
