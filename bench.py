@@ -166,23 +166,28 @@ def bench_e2e() -> None:
 def main() -> None:
     # Watchdog: the tunneled TPU backend can wedge hard (device transfers
     # and compiles block forever after a client is killed mid-RPC).  A
-    # bench that hangs is worse than one that fails — alarm out with an
-    # explicit error line instead.
-    import signal
+    # bench that hangs is worse than one that fails — emit an explicit
+    # error line instead.  A watchdog *thread* (not SIGALRM): when the
+    # main thread is blocked inside a native RPC the interpreter never
+    # regains control to run a Python signal handler, but a daemon timer
+    # thread still fires and os._exit bypasses the stuck call entirely.
+    import threading
 
-    def _abort(signum, frame):
+    def _abort():
         print(json.dumps({
             "metric": "bench_error", "value": 0.0, "unit": "error",
             "vs_baseline": 0.0,
             "error": "timed out (wedged TPU tunnel?)"}), flush=True)
         os._exit(2)
 
-    signal.signal(signal.SIGALRM, _abort)
-    signal.alarm(int(os.environ.get("BENCH_TIMEOUT_S", "2400")))
+    watchdog = threading.Timer(
+        float(os.environ.get("BENCH_TIMEOUT_S", "2400")), _abort)
+    watchdog.daemon = True
+    watchdog.start()
     bench_merge(2048, BATCH)
     bench_merge(4096, BATCH)  # batch 16 is the 4096 sweet spot too (5.6x b1)
     bench_e2e()
-    signal.alarm(0)
+    watchdog.cancel()
 
 
 if __name__ == "__main__":

@@ -311,6 +311,13 @@ def build_batched_e2e(persp_model, persp_params, cfg: MergeConfig,
         jmodels = jax.jit(models_stage, in_shardings=in_sh,
                           out_shardings=dp)
         jfuse = jax.jit(fuse_stage, in_shardings=dp, out_shardings=dp)
+        # commit the params to the replicated sharding ONCE: jit does not
+        # cache argument resharding, so passing host/single-device trees
+        # would re-broadcast every checkpoint byte across the mesh on
+        # every call
+        persp_params = jax.device_put(persp_params, repl)
+        if base_params is not None:
+            base_params = jax.device_put(base_params, repl)
     return (lambda *a: jfull(persp_params, base_params, *a),
             lambda *a: jmodels(persp_params, base_params, *a),
             jfuse)

@@ -71,7 +71,10 @@ def _kernel(band, groups, eps, relu, out_dtype, x_ref, s_ref, b_ref, o_ref):
                                 preferred_element_type=jnp.float32) / n
     gmean2 = jax.lax.dot_general(s2, m, (((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32) / n
-    ginv = jax.lax.rsqrt(gmean2 - gmean * gmean + eps)      # (1, groups)
+    # clamp like flax _compute_stats: E[x^2]-E[x]^2 can round negative for
+    # near-constant groups at large magnitude; rsqrt(neg) would NaN
+    gvar = jnp.maximum(gmean2 - gmean * gmean, 0.0)
+    ginv = jax.lax.rsqrt(gvar + eps)                        # (1, groups)
     mt = m.T
     mean_c = jax.lax.dot_general(gmean, mt, (((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
@@ -113,8 +116,14 @@ def _group_norm_impl(x, scale, bias, groups, eps, relu, out_dtype,
     )(x, scale.reshape(1, c), bias.reshape(1, c))
 
 
-def supported(shape, num_groups: int) -> bool:
-    """True when the kernel handles this (N, ..., C) activation."""
+def supported(shape, num_groups: int, in_dtype=jnp.bfloat16,
+              out_dtype=jnp.bfloat16) -> bool:
+    """True when the kernel handles this (N, ..., C) activation.
+
+    The VMEM gate is sized for the *actual* element widths: the per-image
+    input and output blocks live in VMEM simultaneously, so an f32
+    input/output pair consumes twice the bf16 budget.
+    """
     if len(shape) < 3:
         return False
     c = shape[-1]
@@ -123,7 +132,8 @@ def supported(shape, num_groups: int) -> bool:
         hw *= d
     if c % num_groups or hw % 16:
         return False
-    if hw * c * 2 > _MAX_BLOCK_BYTES:     # bf16 input block per image
+    per_elem = jnp.dtype(in_dtype).itemsize + jnp.dtype(out_dtype).itemsize
+    if hw * c * per_elem > 2 * _MAX_BLOCK_BYTES:  # in + out blocks
         return False
     return _pick_band(hw, c) > 0
 
@@ -137,7 +147,7 @@ def group_norm(x, scale, bias, num_groups: int, eps: float = 1e-6,
     the activation into the same pass.  Inference-only (no VJP).
     """
     shape = x.shape
-    if not supported(shape, num_groups):
+    if not supported(shape, num_groups, x.dtype, out_dtype):
         raise ValueError(f"unsupported GroupNorm shape {shape} "
                          f"(groups={num_groups}); gate on supported()")
     n, c = shape[0], shape[-1]

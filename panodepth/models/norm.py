@@ -53,8 +53,12 @@ class GroupNorm(nn.GroupNorm):
                 and self.reduction_axes is None
                 and self.use_scale and self.use_bias
                 and self.use_fast_variance
+                # the kernel always computes f32 stats; a bf16-stats
+                # config must keep the flax path for routing-independence
+                and self.force_float32_reductions
                 and self.axis_name is None
-                and groupnorm.supported(x.shape, self.num_groups)):
+                and groupnorm.supported(x.shape, self.num_groups,
+                                        x.dtype, self.dtype)):
             return False
         if _FORCE_INTERPRET:
             return True

@@ -75,7 +75,14 @@ def _save(path: str, exported, meta: dict) -> None:
 
 
 def load(path: str) -> Artifact:
-    """Load an artifact written by one of the exporters below."""
+    """Load an artifact written by one of the exporters below.
+
+    A missing ``.meta.json`` sidecar (e.g. only the ``.xla`` file was
+    copied to the serving host) is tolerated: input shapes/dtypes are
+    recovered from the exported program's own avals so ``describe`` and
+    the ``run`` smoke command still work; only the extra config fields
+    (kind, out_width, ...) are unavailable.
+    """
     from jax import export as jexport
 
     with open(path, "rb") as fp:
@@ -84,6 +91,13 @@ def load(path: str) -> Artifact:
     if os.path.exists(path + ".meta.json"):
         with open(path + ".meta.json") as fp:
             meta = json.load(fp)
+    else:
+        meta = {
+            "kind": "unknown (meta sidecar missing)",
+            "in_shapes": [list(a.shape) for a in exported.in_avals],
+            "in_dtypes": [str(a.dtype) for a in exported.in_avals],
+            "platforms": list(exported.platforms),
+        }
     return Artifact(exported, meta)
 
 
@@ -199,6 +213,13 @@ def main(argv=None) -> int:
     jax = _jax()
     if args.platform != "auto":
         jax.config.update("jax_platforms", args.platform)
+    # the repo-wide persistent compilation cache (CLAUDE.md): without it a
+    # serving process pays the full device compile this module exists to
+    # avoid.  config.update (not the env var) so it takes effect even
+    # though jax is already imported by this point.
+    if not os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.jax_cache"))
 
     if args.cmd == "export-merge":
         cfg = MergeConfig(out_width=args.out_width, layout_name=args.layout)

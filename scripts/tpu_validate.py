@@ -108,10 +108,9 @@ def check_packed_sampling() -> bool:
     return ok
 
 
-def _sync(out) -> float:
-    # tunneled backends (axon) return from block_until_ready before remote
-    # execution finishes; a host readback is the only true fence
-    return float(jnp.sum(jnp.asarray(out, jnp.float32)))
+from bench import sync as _sync  # noqa: E402  (repo root is on sys.path)
+# the tunnel-safe host-readback fence lives in bench.py — one copy only,
+# so a fix to the fence semantics applies to both benches at once
 
 
 def _time_ms(fn, reps: int = 20, trials: int = 5) -> float:

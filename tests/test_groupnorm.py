@@ -71,6 +71,39 @@ def test_supported_gates():
     assert not groupnorm.supported((2, 16, 16, 48), 32)   # C % groups
     assert not groupnorm.supported((1, 512, 512, 32), 32)  # block too big
     assert groupnorm.supported((1, 128, 128, 128), 32)
+    # the VMEM gate must account for the actual element widths: the same
+    # shape that fits as bf16 in/out exceeds the budget as f32 in/out
+    assert not groupnorm.supported((1, 128, 128, 128), 32,
+                                   jnp.float32, jnp.float32)
+
+
+def test_near_constant_group_no_nan():
+    """flax clamps E[x^2]-E[x]^2 at 0 before rsqrt; the kernel must too.
+
+    Near-constant groups at large magnitude make the fast-variance
+    estimate pure f32 cancellation noise — it rounds negative, and
+    without the clamp rsqrt(neg) NaNs (the one-hot broadcast matmul then
+    poisons every channel).  This input NaN'd the whole output before the
+    clamp was added; flax survives the same input via its own
+    ``jnp.maximum(0, ...)`` in ``_compute_stats``.
+    """
+    rng = np.random.RandomState(0)
+    base = rng.uniform(500, 2000, (1, 1, 1, 32)).astype(np.float32)
+    x = np.broadcast_to(base, (1, 64, 64, 32)).copy()
+    x += rng.normal(0, 1e-3, x.shape).astype(np.float32)
+    xj = jnp.asarray(x)  # f32 input: magnitudes survive un-quantized
+    scale = jnp.ones(32)
+    bias = jnp.asarray(rng.uniform(-1, 1, 32).astype(np.float32))
+    got = np.asarray(groupnorm.group_norm(
+        xj, scale, bias, 32, out_dtype=jnp.float32, interpret=True),
+        np.float32)
+    assert np.isfinite(got).all()
+    want = np.asarray(_flax_gn(xj, scale, bias, 32, jnp.float32),
+                      np.float32)
+    assert np.isfinite(want).all()
+    # in this cancellation-dominated regime the two summation orders give
+    # different (both clamped-finite) variance estimates, so outputs are
+    # only loosely comparable; finiteness is the contract being pinned
 
 
 def test_module_fallback_bitexact_with_flax():

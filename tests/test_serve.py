@@ -40,3 +40,21 @@ def test_run_smoke_cli(tmp_path, capsys):
     assert serve.main(["run", path]) == 0
     out = capsys.readouterr().out
     assert "ran ok" in out and "merge graph" in out
+
+
+def test_load_without_meta_sidecar(tmp_path, capsys):
+    """Only the .xla file deployed: shapes recover from the exported
+    program's avals, describe() and the run smoke still work."""
+    import os
+
+    cfg = MergeConfig(out_width=256, layout_name="3fold")
+    path = str(tmp_path / "bare.xla")
+    serve.export_merge(path, cfg, batch=1, emap_shape=(64, 128),
+                       pmap_shape=(96, 128), jacobi_kind="jnp")
+    os.remove(path + ".meta.json")
+    art = serve.load(path)
+    assert art.meta["in_dtypes"] == ["uint16", "uint16"]
+    assert art.meta["in_shapes"][0] == [1, 64, 128]
+    assert "sidecar missing" in art.describe()
+    assert serve.main(["run", path]) == 0
+    assert "ran ok" in capsys.readouterr().out
