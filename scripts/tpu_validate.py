@@ -153,6 +153,33 @@ def bench_groupnorm() -> None:
                           "speedup": round(x_ms / f_ms, 3)}), flush=True)
 
 
+def bench_percentile() -> None:
+    """predict_depth01's per-image 99th percentile: sort vs top_k.
+
+    jnp.percentile lowers to a full (bitonic) sort per image on TPU;
+    lax.top_k of the top 1% is the cheaper exact-rank alternative.  This
+    quantifies whether the normalize step is worth optimizing in the e2e
+    graph (models/perspective.py predict_depth01).
+    """
+    x = jnp.asarray(np.random.RandomState(5).rand(120, 65536)
+                    .astype(np.float32))
+    k = int(0.01 * x.shape[1]) + 1
+
+    sort_fn = jax.jit(lambda x: jnp.percentile(x, 99.0, axis=1))
+    topk_fn = jax.jit(lambda x: jax.lax.top_k(x, k)[0][:, -1])
+    apprx_fn = jax.jit(lambda x: jax.lax.approx_max_k(x, k)[0][:, -1])
+    s_ms = _time_ms(lambda: sort_fn(x))
+    t_ms = _time_ms(lambda: topk_fn(x))
+    a_ms = _time_ms(lambda: apprx_fn(x))
+    print(json.dumps({"bench": "percentile99_120x65536",
+                      "sort_ms": round(s_ms, 4),
+                      "topk_ms": round(t_ms, 4),
+                      "approx_topk_ms": round(a_ms, 4),
+                      "speedup_topk": round(s_ms / t_ms, 3),
+                      "speedup_approx": round(s_ms / a_ms, 3)}),
+          flush=True)
+
+
 def bench_e2e_groupnorm_ab() -> None:
     """Full batched e2e graph (zoo weights) with the fused GN off vs on."""
     zoo = os.path.join(os.path.dirname(os.path.dirname(
@@ -200,6 +227,7 @@ def main() -> int:
                   flush=True)
         else:
             bench_groupnorm()
+            bench_percentile()
             bench_e2e_groupnorm_ab()
     return 0 if ok else 1
 
