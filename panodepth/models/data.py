@@ -53,7 +53,7 @@ def _load_pair_chunk(chunk: List[Tuple[str, str]]
     from ..utils import nativeio
 
     files = [f for pair in chunk for f in pair]
-    if nativeio.available() and all(
+    if nativeio.batch_prefetch_wins() and all(
             f.lower().endswith(".png") for f in files):
         pf = nativeio.BatchPrefetcher(files, threads=8)
         try:

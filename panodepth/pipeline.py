@@ -123,7 +123,7 @@ def _load_inputs(baseline_filename, pmap_filenames):
     # .pfm is excluded: its 0~1 normalization (LoadPfm flip/cap semantics)
     # lives in the python path
     files = [baseline_filename] + list(pmap_filenames)
-    if nativeio.available() and all(
+    if nativeio.batch_prefetch_wins() and all(
             f.lower().endswith(".png") for f in files):
         pf = nativeio.BatchPrefetcher(files, threads=8)
         try:

@@ -61,6 +61,20 @@ def available() -> bool:
     return bool(_load())
 
 
+def batch_prefetch_wins() -> bool:
+    """Whether :class:`BatchPrefetcher` beats serial in-thread decode.
+
+    The prefetcher pays a per-item staging copy (decode into a C buffer,
+    then memcpy out on ``get``) that worker-thread parallelism normally
+    hides.  On a single-CPU host there is no parallelism to win — decode
+    and copy serialize onto the one core and the prefetcher measures
+    ~4.5x *slower* per file than plain serial decode — so callers should
+    fall back to the serial native path (overlap with device compute
+    comes from their own lookahead thread either way).
+    """
+    return available() and (os.cpu_count() or 1) > 1
+
+
 def write_png16(path: str, data: np.ndarray, level: int = 6) -> None:
     lib = _load()
     arr = np.ascontiguousarray(data, np.uint16)
@@ -108,6 +122,12 @@ class BatchPrefetcher:
         self._lib = lib
         self._n = len(paths)
         arr = (ctypes.c_char_p * self._n)(*[p.encode() for p in paths])
+        # cap at the machine's core count: oversubscribed decode threads
+        # measurably thrash (4x slower per file on a 1-CPU host — 8
+        # threads churning 16 MB working sets through one cache); the
+        # prefetcher's job on small hosts is overlap with device compute,
+        # which one worker already provides
+        threads = max(1, min(threads, os.cpu_count() or 1))
         self._handle = lib.pdio_prefetch_start(arr, self._n, threads)
 
     def get(self, index: int) -> Optional[np.ndarray]:
