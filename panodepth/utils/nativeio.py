@@ -75,7 +75,14 @@ def batch_prefetch_wins() -> bool:
     return available() and (os.cpu_count() or 1) > 1
 
 
-def write_png16(path: str, data: np.ndarray, level: int = 6) -> None:
+def write_png16(path: str, data: np.ndarray, level: int = 1) -> None:
+    """Lossless 16-bit grayscale PNG (Up-filtered scanlines).
+
+    Default deflate level 1: with the Up filter, level 1 encodes ~4x
+    faster than level 6 for ~45 % larger files on realistic depth maps
+    (46 ms / 1.15 MB vs 199 ms / 0.78 MB at 2048x1024) — the
+    result-writing path is host-side and throughput-bound.
+    """
     lib = _load()
     arr = np.ascontiguousarray(data, np.uint16)
     h, w = arr.shape
