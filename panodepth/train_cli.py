@@ -71,6 +71,12 @@ def main(argv=None) -> int:
     from .models.perspective import PerspectiveDepthNet
     from .parallel.mesh import make_mesh
 
+    n_dev = len(jax.devices())
+    if args.batch_size % n_dev:
+        raise SystemExit(
+            f"--batch-size {args.batch_size} must be divisible by the "
+            f"device count ({n_dev}): batches shard over the dp mesh axis")
+
     if args.synth:
         pairs = None
         print(f"[train] on-device synthetic scenes, "

@@ -1,0 +1,87 @@
+"""Smoke tests for the standalone CLI tools: analyze + train_cli.
+
+These are the last two user-facing entry points without direct tests —
+the analysis CLI (the reference's commented-out ``cmd == "1"`` path,
+Main.cpp:896-897) and the training CLI.  Both are driven in-process via
+their ``main(argv)`` functions on tiny shapes.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from panodepth import io as pio
+
+
+@pytest.fixture
+def depth_pair(tmp_path):
+    rng = np.random.RandomState(7)
+    y, x = np.mgrid[0:64, 0:128]
+    gt = (0.2 + 0.1 * np.sin(x / 17.0) * np.cos(y / 9.0)).astype(np.float32)
+    pred = np.clip(gt * 1.07 + 0.01 * rng.rand(64, 128), 0, 1).astype(
+        np.float32)
+    gt_f = str(tmp_path / "gt.png")
+    pred_f = str(tmp_path / "pred.png")
+    pio.save_png16(gt_f, (gt * 65535 + 0.5).astype(np.uint16))
+    pio.save_png16(pred_f, (pred * 65535 + 0.5).astype(np.uint16))
+    return gt_f, pred_f
+
+
+def test_analyze_cli_json(depth_pair, capsys):
+    from panodepth import analyze
+
+    gt_f, pred_f = depth_pair
+    rc = analyze.main([gt_f, pred_f, "--json", "--laplacian",
+                       "--platform", "cpu"])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    rec = json.loads(out)
+    for key in ("rmse", "mae", "mre", "rmselog", "delta1"):
+        assert key in rec, rec
+    # median alignment absorbs the 1.07 scale; residual is the noise term
+    assert 0 < rec["rmse"] < 0.02
+    assert rec["delta1"] > 0.9
+    assert any(k.startswith("laplacian") for k in rec), rec
+
+
+def test_analyze_cli_self_comparison_is_exact(depth_pair, capsys):
+    from panodepth import analyze
+
+    gt_f, _ = depth_pair
+    rc = analyze.main([gt_f, gt_f, "--json", "--align", "0",
+                       "--platform", "cpu"])
+    assert rc == 0
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["rmse"] == 0.0
+    assert rec["delta1"] == 1.0
+
+
+def test_train_cli_synth_smoke(tmp_path):
+    """Three tiny synthetic steps end-to-end: loss finite, checkpoint +
+    sidecar written, params-only npz loadable by the e2e loader."""
+    from panodepth import train_cli
+    from panodepth.e2e import load_model_checkpoint
+
+    ckpt_dir = str(tmp_path / "ckpts")
+    # batch 8: the conftest pins an 8-device CPU mesh and the dp sharding
+    # needs batch % devices == 0 (train_cli rejects mismatches up front)
+    rc = train_cli.main([
+        "panoramic", "x", "x", ckpt_dir, "--synth", "--steps", "3",
+        "--batch-size", "8", "--pano-width", "64", "--width-scale", "0.25",
+        "--ckpt-every", "1000", "--log-every", "1", "--platform", "cpu"])
+    assert rc in (0, None)
+    npz = os.path.join(ckpt_dir, "panoramic_final.params.npz")
+    sidecar = os.path.join(ckpt_dir, "panoramic.config.json")
+    assert os.path.exists(npz) and os.path.exists(sidecar)
+    arch = json.load(open(sidecar))
+    assert arch["model"] == "panoramic" and arch["pano_width"] == 64
+
+    model, params, loaded_arch = load_model_checkpoint(npz)
+    assert loaded_arch["pano_width"] == 64
+    import jax.numpy as jnp
+
+    out = model.apply(params, jnp.zeros((1, 32, 64, 3)))
+    assert out.shape == (1, 32, 64)
+    assert bool(jnp.isfinite(out).all())
