@@ -135,6 +135,29 @@ class PerspectiveDepthNet(nn.Module):
         return nn.softplus(y[..., 0])
 
 
+def _percentile99(flat):
+    """Per-row 99th percentile of (B, N), same linear-interpolation
+    semantics as ``jnp.percentile(..., 99.0, axis=1)``.
+
+    ``jnp.percentile`` lowers to a full per-row sort; on TPU the exact
+    interpolated rank statistic only needs the top ~1% via ``lax.top_k``
+    (PANODEPTH_P99=topk selects it; parity vs the sort path is pinned in
+    tests, the on-chip timing A/B lives in scripts/tpu_validate.py).
+    """
+    import os
+
+    if os.environ.get("PANODEPTH_P99", "sort") != "topk":
+        return jnp.percentile(flat, 99.0, axis=1)
+    n = flat.shape[1]
+    rank = (n - 1) * 99 // 100            # floor((n-1)*0.99), exact in int
+    frac = (n - 1) * 0.99 - rank
+    k = n - rank                          # descending index n-1-rank, +1
+    v = jax.lax.top_k(flat, k)[0]         # (B, k) descending
+    lo = v[:, k - 1]                      # ascending a[rank]
+    hi = v[:, k - 2] if k >= 2 else v[:, k - 1]
+    return lo + jnp.float32(frac) * (hi - lo)
+
+
 def predict_depth01(params, model: PerspectiveDepthNet, rgb):
     """Run the net and map its positive output into 0~1 depth encoding.
 
@@ -143,5 +166,5 @@ def predict_depth01(params, model: PerspectiveDepthNet, rgb):
     each view to the panoramic baseline anyway; see Depth.cpp:1261-1414).
     """
     pred = model.apply(params, rgb)
-    hi = jnp.percentile(pred.reshape(pred.shape[0], -1), 99.0, axis=1)
+    hi = _percentile99(pred.reshape(pred.shape[0], -1))
     return jnp.clip(pred / jnp.maximum(hi, 1e-6)[:, None, None], 0.0, 1.0)

@@ -176,3 +176,22 @@ def test_norm_dtype_bf16_matches_f32(tiny_perspective):
     compare(hoho, HorizonDepthNet(widths=widths, horizon_dim=32,
                                   attn_blocks=1, norm_dtype=jnp.bfloat16),
             xp, ph)
+
+
+def test_percentile99_topk_matches_sort(monkeypatch):
+    """PANODEPTH_P99=topk must reproduce jnp.percentile's interpolated
+    99th percentile (the normalize constant in predict_depth01)."""
+    import os
+
+    import jax.numpy as jnp
+
+    from panodepth.models import perspective as pm
+
+    rng = np.random.RandomState(11)
+    for n in (100, 4096, 65536):
+        flat = jnp.asarray(rng.rand(3, n).astype(np.float32))
+        monkeypatch.delenv("PANODEPTH_P99", raising=False)
+        want = np.asarray(pm._percentile99(flat))
+        monkeypatch.setenv("PANODEPTH_P99", "topk")
+        got = np.asarray(pm._percentile99(flat))
+        np.testing.assert_allclose(got, want, rtol=0, atol=2e-6)
