@@ -180,6 +180,15 @@ def main() -> None:
             "error": "timed out (wedged TPU tunnel?)"}), flush=True)
         os._exit(2)
 
+    # preflight: a trivial device op under a short fuse — when the tunnel
+    # is wedged this fails in minutes instead of burning the full budget
+    preflight = threading.Timer(
+        float(os.environ.get("BENCH_PREFLIGHT_S", "420")), _abort)
+    preflight.daemon = True
+    preflight.start()
+    sync(jnp.ones((128, 128)) @ jnp.ones((128, 128)))
+    preflight.cancel()
+
     watchdog = threading.Timer(
         float(os.environ.get("BENCH_TIMEOUT_S", "2400")), _abort)
     watchdog.daemon = True
