@@ -20,6 +20,7 @@ CLI:
     python -m panodepth.serve export-e2e OUT.xla --batch 8 \
         --rgb-shape 1024x2048 --persp-ckpt ... --baseline-ckpt ...
     python -m panodepth.serve run OUT.xla            # smoke: random inputs
+    python -m panodepth.serve describe OUT.xla       # inspect, no execution
 
 Python:
 
@@ -206,7 +207,12 @@ def main(argv=None) -> int:
     pr = sub.add_parser("run")
     pr.add_argument("artifact")
 
-    for q in (pm, pe, pr):
+    pd = sub.add_parser(
+        "describe", help="print an artifact's kind/shapes/platforms "
+        "without executing it")
+    pd.add_argument("artifact")
+
+    for q in (pm, pe, pr, pd):
         q.add_argument("--platform", default="auto",
                        choices=["auto", "cpu", "tpu"])
     args = p.parse_args(argv)
@@ -234,6 +240,8 @@ def main(argv=None) -> int:
                    args.baseline_ckpt, rgb_shape=_parse_hw(args.rgb_shape),
                    view_width=args.view_width)
         print(f"[serve] wrote {args.out} (+.meta.json)")
+    elif args.cmd == "describe":
+        print(f"[serve] {load(args.artifact).describe()}")
     else:
         import time
 

@@ -56,5 +56,7 @@ def test_load_without_meta_sidecar(tmp_path, capsys):
     assert art.meta["in_dtypes"] == ["uint16", "uint16"]
     assert art.meta["in_shapes"][0] == [1, 64, 128]
     assert "sidecar missing" in art.describe()
+    assert serve.main(["describe", path]) == 0
+    assert "sidecar missing" in capsys.readouterr().out
     assert serve.main(["run", path]) == 0
     assert "ran ok" in capsys.readouterr().out
