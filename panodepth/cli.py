@@ -84,6 +84,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "halves the norms' HBM traffic (+24% CNN "
                         "throughput, no measured accuracy change); auto = "
                         "bf16 on TPU, f32 elsewhere")
+    p.add_argument("--png-level", type=int, default=None, metavar="0-9",
+                   help="deflate level for the 16-bit result PNGs (always "
+                        "lossless). Default 1: fastest writes; 6+ for "
+                        "smallest archival files")
     p.add_argument("--debug-nans", action="store_true",
                    help="abort on the first NaN produced inside any jitted "
                         "graph (jax_debug_nans; SURVEY.md section 5 — the "
@@ -102,6 +106,10 @@ def main(argv=None) -> int:
         import jax
 
         jax.config.update("jax_debug_nans", True)
+    if args.png_level is not None:
+        import os
+
+        os.environ["PANODEPTH_PNG_LEVEL"] = str(args.png_level)
     from .config import MergeConfig
     from .pipeline import run_batch
 

@@ -128,13 +128,24 @@ def save_pfm(filename: str, img: np.ndarray) -> None:
 # saving
 
 
-def save_png16(filename: str, data: np.ndarray) -> None:
-    """16-bit single-channel PNG (Save16BitPNG, Depth.cpp:27-32)."""
+def save_png16(filename: str, data: np.ndarray,
+               level: Optional[int] = None) -> None:
+    """16-bit single-channel PNG (Save16BitPNG, Depth.cpp:27-32).
+
+    ``level`` is the deflate level (always lossless).  Default 1: ~3x
+    faster encode than 6 for ~45 % larger files with the Up-filtered
+    native codec — the right trade for a throughput pipeline; override
+    per call or process-wide via ``PANODEPTH_PNG_LEVEL`` (CLI
+    ``--png-level``) for archival output.
+    """
+    if level is None:
+        level = int(os.environ.get("PANODEPTH_PNG_LEVEL", "1"))
     arr = np.ascontiguousarray(data, np.uint16)
     if nativeio.available():
-        nativeio.write_png16(filename, arr)
+        nativeio.write_png16(filename, arr, level=level)
         return
-    Image.fromarray(arr, mode="I;16").save(filename)
+    img = Image.fromarray(arr, mode="I;16")
+    img.save(filename, compress_level=max(0, min(9, level)))
 
 
 def save_png8(filename: str, img01: np.ndarray) -> None:

@@ -85,3 +85,23 @@ def test_train_cli_synth_smoke(tmp_path):
     out = model.apply(params, jnp.zeros((1, 32, 64, 3)))
     assert out.shape == (1, 32, 64)
     assert bool(jnp.isfinite(out).all())
+
+
+def test_save_png16_level_env(tmp_path, monkeypatch):
+    """PANODEPTH_PNG_LEVEL / level= control the (lossless) deflate level."""
+    y, x = np.mgrid[0:64, 0:128]
+    img = (1000 + 40 * np.sin(x / 9.0) + 8 * y).astype(np.uint16)
+    f1 = str(tmp_path / "l1.png")
+    f6 = str(tmp_path / "l6.png")
+    pio.save_png16(f1, img, level=1)
+    pio.save_png16(f6, img, level=6)
+    assert os.path.getsize(f6) <= os.path.getsize(f1)
+    a1 = (pio.load_image01(f1) * 65535 + 0.5).astype(np.uint16)
+    a6 = (pio.load_image01(f6) * 65535 + 0.5).astype(np.uint16)
+    np.testing.assert_array_equal(a1, img)
+    np.testing.assert_array_equal(a6, img)
+
+    monkeypatch.setenv("PANODEPTH_PNG_LEVEL", "6")
+    fenv = str(tmp_path / "env.png")
+    pio.save_png16(fenv, img)
+    assert os.path.getsize(fenv) == os.path.getsize(f6)
