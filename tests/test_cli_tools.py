@@ -105,3 +105,26 @@ def test_save_png16_level_env(tmp_path, monkeypatch):
     fenv = str(tmp_path / "env.png")
     pio.save_png16(fenv, img)
     assert os.path.getsize(fenv) == os.path.getsize(f6)
+
+
+def test_analyze_cli_mono360(tmp_path, capsys):
+    """--mono360: disparity baseline through the ErrorCompare chain
+    (disp->depth, least-squares align, 10 m cap, shifted 8-bit dump)."""
+    from panodepth import analyze
+
+    y, x = np.mgrid[0:64, 0:128]
+    gt = (0.15 + 0.05 * np.sin(x / 11.0) + 0.001 * y).astype(np.float32)
+    disp = 1.0 / np.maximum(gt, 1e-3)
+    disp = disp / disp.max()  # mono360 disparities arrive normalized
+    gt_f = str(tmp_path / "gt.png")
+    disp_f = str(tmp_path / "disp.png")
+    shift_f = str(tmp_path / "shifted.png")
+    pio.save_png16(gt_f, (gt * 65535 + 0.5).astype(np.uint16))
+    pio.save_png16(disp_f, (disp * 65535 + 0.5).astype(np.uint16))
+    rc = analyze.main([gt_f, disp_f, "--mono360", "--json",
+                       "--shifted-out", shift_f, "--platform", "cpu"])
+    assert rc == 0
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # a clean reciprocal relation survives the disp->depth chain well
+    assert rec["rmse"] < 0.05 and rec["delta1"] > 0.8, rec
+    assert os.path.exists(shift_f)
