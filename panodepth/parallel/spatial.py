@@ -35,6 +35,84 @@ except ImportError:  # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map
 
 
+def jacobi_local(B, tgt, cov, iterations, step, reg, axis: str, n: int,
+                 halo: int = 1):
+    """Per-shard body of the width-sharded Jacobi relaxation.
+
+    Runs INSIDE an existing ``shard_map`` context whose mesh has ``axis``
+    of size ``n``: ``B``/``tgt``/``cov`` are this device's width shard
+    (H, W/n), ``cov`` as f32.  Exchanges ring halos with ``ppermute`` and
+    returns the relaxed local shard.  Exposed separately so other manual
+    programs (e.g. the view-parallel latency pipeline in
+    :mod:`panodepth.parallel.views`) can fuse it into their own shard_map.
+    """
+    one_minus_reg = 1.0 - reg
+    k = max(1, int(halo))
+    w_local = B.shape[1]
+    if k > w_local:
+        k = w_local
+    # static block sizes: [k, k, ..., remainder]
+    blocks = [k] * (iterations // k)
+    if iterations % k:
+        blocks.append(iterations % k)
+
+    fwd = [(i, (i + 1) % n) for i in range(n)]   # send right
+    bwd = [(i, (i - 1) % n) for i in range(n)]   # send left
+    idx = jax.lax.axis_index(axis)
+
+    def exchange(X, width):
+        """width-column halos from both ring neighbors, with the seam
+        row-shift applied before sending: the reference's flat-index
+        wrap maps any x<0 tap to (row-1, W+x) and any x>=W tap to
+        (row+1, x-W) (fusion.lap4_refwrap), a uniform +-1 row roll of
+        the whole crossing block — so intra-block adjacency and the
+        halo/owned boundary both keep exact reference semantics."""
+        send_r = X[:, -width:]
+        send_r = jnp.where(idx == n - 1,
+                           jnp.roll(send_r, 1, axis=0), send_r)
+        left_halo = jax.lax.ppermute(send_r, axis, fwd)
+        send_l = X[:, :width]
+        send_l = jnp.where(idx == 0,
+                           jnp.roll(send_l, -1, axis=0), send_l)
+        right_halo = jax.lax.ppermute(send_l, axis, bwd)
+        return jnp.concatenate([left_halo, X, right_halo], axis=1)
+
+    # targets/coverage are iteration-invariant: exchange their halos
+    # ONCE for the whole schedule (buf halos go per block)
+    tgt_e = exchange(tgt, k)
+    cov_e = exchange(cov, k)
+
+    def step_ext(Bk, tgt_k, cov_k):
+        """One Jacobi update over an extended-width buffer; op order
+        mirrors fusion.jacobi exactly (bit-equality)."""
+        pad = jnp.pad(Bk, ((0, 0), (1, 1)), mode="edge")
+        lap = Bk - 0.25 * (
+            pad[:, :-2] + pad[:, 2:]
+            + jnp.roll(Bk, 1, axis=0) + jnp.roll(Bk, -1, axis=0)
+        )
+        upd = Bk + (tgt_k - lap) * step
+        upd = upd * one_minus_reg + Bk * reg
+        upd = jnp.clip(upd, 0.0, 1.0)
+        return jnp.where(cov_k > 0, upd, Bk)
+
+    if k == 1:
+        # the same update as the blocked path (exchange, one step_ext,
+        # discard the 1-wide halo), rolled into a single fori_loop so
+        # the graph isn't repeated `iterations` times — bit-equal to
+        # the block schedule; the update formula lives only in step_ext
+        def body1(_, Bk):
+            return step_ext(exchange(Bk, 1), tgt_e, cov_e)[:, 1:-1]
+
+        return jax.lax.fori_loop(0, iterations, body1, B)
+
+    for bs in blocks:  # few blocks: iterations/halo graph repetitions
+        ext = exchange(B, k)
+        body = lambda _, Bk: step_ext(Bk, tgt_e, cov_e)
+        ext = jax.lax.fori_loop(0, bs, body, ext)
+        B = ext[:, k:-k]
+    return B
+
+
 def jacobi_spatial(buf, target, covered, iterations, step, reg, mesh: Mesh,
                    axis: str = "sp", halo: int = 1):
     """Width-sharded Jacobi, numerics identical to ``fusion.jacobi``.
@@ -51,74 +129,11 @@ def jacobi_spatial(buf, target, covered, iterations, step, reg, mesh: Mesh,
     exchange-every-iteration schedule.
     """
     n = mesh.shape[axis]
-    one_minus_reg = 1.0 - reg
     covf = covered.astype(jnp.float32)
-    k = max(1, int(halo))
-    w_local = buf.shape[1] // n
-    if k > w_local:
-        k = w_local
-    # static block sizes: [k, k, ..., remainder]
-    blocks = [k] * (iterations // k)
-    if iterations % k:
-        blocks.append(iterations % k)
-
-    fwd = [(i, (i + 1) % n) for i in range(n)]   # send right
-    bwd = [(i, (i - 1) % n) for i in range(n)]   # send left
 
     def local(B, tgt, cov):
-        idx = jax.lax.axis_index(axis)
-
-        def exchange(X, width):
-            """width-column halos from both ring neighbors, with the seam
-            row-shift applied before sending: the reference's flat-index
-            wrap maps any x<0 tap to (row-1, W+x) and any x>=W tap to
-            (row+1, x-W) (fusion.lap4_refwrap), a uniform +-1 row roll of
-            the whole crossing block — so intra-block adjacency and the
-            halo/owned boundary both keep exact reference semantics."""
-            send_r = X[:, -width:]
-            send_r = jnp.where(idx == n - 1,
-                               jnp.roll(send_r, 1, axis=0), send_r)
-            left_halo = jax.lax.ppermute(send_r, axis, fwd)
-            send_l = X[:, :width]
-            send_l = jnp.where(idx == 0,
-                               jnp.roll(send_l, -1, axis=0), send_l)
-            right_halo = jax.lax.ppermute(send_l, axis, bwd)
-            return jnp.concatenate([left_halo, X, right_halo], axis=1)
-
-        # targets/coverage are iteration-invariant: exchange their halos
-        # ONCE for the whole schedule (buf halos go per block)
-        tgt_e = exchange(tgt, k)
-        cov_e = exchange(cov, k)
-
-        def step_ext(Bk, tgt_k, cov_k):
-            """One Jacobi update over an extended-width buffer; op order
-            mirrors fusion.jacobi exactly (bit-equality)."""
-            pad = jnp.pad(Bk, ((0, 0), (1, 1)), mode="edge")
-            lap = Bk - 0.25 * (
-                pad[:, :-2] + pad[:, 2:]
-                + jnp.roll(Bk, 1, axis=0) + jnp.roll(Bk, -1, axis=0)
-            )
-            upd = Bk + (tgt_k - lap) * step
-            upd = upd * one_minus_reg + Bk * reg
-            upd = jnp.clip(upd, 0.0, 1.0)
-            return jnp.where(cov_k > 0, upd, Bk)
-
-        if k == 1:
-            # the same update as the blocked path (exchange, one step_ext,
-            # discard the 1-wide halo), rolled into a single fori_loop so
-            # the graph isn't repeated `iterations` times — bit-equal to
-            # the block schedule; the update formula lives only in step_ext
-            def body1(_, Bk):
-                return step_ext(exchange(Bk, 1), tgt_e, cov_e)[:, 1:-1]
-
-            return jax.lax.fori_loop(0, iterations, body1, B)
-
-        for bs in blocks:  # few blocks: iterations/halo graph repetitions
-            ext = exchange(B, k)
-            body = lambda _, Bk: step_ext(Bk, tgt_e, cov_e)
-            ext = jax.lax.fori_loop(0, bs, body, ext)
-            B = ext[:, k:-k]
-        return B
+        return jacobi_local(B, tgt, cov, iterations, step, reg, axis, n,
+                            halo=halo)
 
     spec = P(None, axis)
     fn = shard_map(local, mesh=mesh, in_specs=(spec, spec, spec),
