@@ -68,6 +68,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="perspective inference width in on-device mode "
                         "(default: the checkpoint's training view_size — "
                         "CNN accuracy drops off its training resolution)")
+    p.add_argument("--latency", action="store_true",
+                   help="with --persp-ckpt: view-parallel single-request "
+                        "mode — each panorama's view fan-out is sharded "
+                        "over ALL devices (lowest per-request latency; "
+                        "use --batch-size for fleet throughput instead)")
+    p.add_argument("--latency-halo", type=int, default=10, metavar="K",
+                   help="with --latency: K-wide temporal-blocked halo "
+                        "exchanges in the width-sharded Jacobi (K-fold "
+                        "fewer ICI collectives, bit-exact)")
     p.add_argument("--stream", default="auto", choices=["auto", "on", "off"],
                    help="transfer integer-source inputs to the device in "
                         "their native width (u8/u16) and normalize there; "
@@ -135,6 +144,7 @@ def main(argv=None) -> int:
                 stream=args.stream, jacobi=args.jacobi,
                 extract_dtype=args.extract_dtype,
                 infer_norm=args.infer_norm,
+                latency=args.latency, latency_halo=args.latency_halo,
             )
         else:
             run_batch(

@@ -331,6 +331,7 @@ def run_batch_e2e(rgb_folder: str, gt_folder: str, result_folder: str,
                   profile: bool = False, batch_size: int = 1,
                   stream: str = "auto", jacobi: str = "auto",
                   extract_dtype: str = "auto", infer_norm: str = "auto",
+                  latency: bool = False, latency_halo: int = 10,
                   log=print):
     """Fully on-device batch: RGB -> models -> registration -> fusion.
 
@@ -367,6 +368,14 @@ def run_batch_e2e(rgb_folder: str, gt_folder: str, result_folder: str,
     CNNs (see :func:`load_model_checkpoint`).  "auto" = bf16 on TPU (where
     the norms' HBM traffic is the CNN bottleneck: +24% perspective-net
     throughput, no measured accuracy change), f32 elsewhere.
+
+    ``latency`` — single-request mode: each panorama's 15-view fan-out is
+    sharded over ALL devices via the view-parallel graph
+    (:func:`panodepth.parallel.views.build_latency_e2e`) instead of
+    batching panoramas; ``batch_size`` is then ignored.  Use when request
+    latency matters more than fleet throughput (requires a uniform-shape
+    layout; ``latency_halo`` = temporal-blocking depth of the
+    width-sharded Jacobi's halo exchanges).
     """
     import os
     import time
@@ -394,16 +403,38 @@ def run_batch_e2e(rgb_folder: str, gt_folder: str, result_folder: str,
         # training resolution; the 0~1 baseline works at any size downstream
         base_w = base_arch.get("pano_width", 512)
 
-    jit_full, jit_models, jit_fuse = build_batched_e2e(
-        persp_model, persp_params, cfg, view_width=view_width,
-        base_model=base_model, base_params=base_params, base_w=base_w,
-        jacobi_kind=jacobi, extract_dtype=extract_dtype)
+    if latency:
+        from .parallel.views import build_latency_e2e, make_vp_mesh
+
+        mesh_vp = make_vp_mesh()
+        if batch_size != 1:
+            log("[run_batch_e2e] --latency runs one panorama per launch; "
+                "ignoring --batch-size")
+        lat_cache = {}
+
+        def lat_fn_for(baseline_np):
+            key = (None if base_model is not None
+                   else tuple(baseline_np.shape[:2]))
+            if key not in lat_cache:
+                lat_cache[key] = build_latency_e2e(
+                    persp_model, persp_params, cfg, mesh_vp,
+                    view_width=view_width, base_model=base_model,
+                    base_params=base_params, base_w=base_w,
+                    baseline_shape=key, extract_dtype=extract_dtype,
+                    halo=latency_halo)
+            return lat_cache[key]
+    else:
+        jit_full, jit_models, jit_fuse = build_batched_e2e(
+            persp_model, persp_params, cfg, view_width=view_width,
+            base_model=base_model, base_params=base_params, base_w=base_w,
+            jacobi_kind=jacobi, extract_dtype=extract_dtype)
 
     rgb_files = pio.filter_files(pio.list_images(rgb_folder),
                                  include, exclude, limit)
     os.makedirs(result_folder, exist_ok=True)
     log(f"[run_batch_e2e] {len(rgb_files)} panoramas, on-device models, "
-        f"batch {batch_size}"
+        + (f"view-parallel latency mode over {len(jax.devices())} devices"
+           if latency else f"batch {batch_size}")
         + (", profiled stages" if profile else ""))
 
     stream_on = (stream == "on"
@@ -446,6 +477,49 @@ def run_batch_e2e(rgb_folder: str, gt_folder: str, result_folder: str,
     models_times, fuse_times = [], []
     pool = ThreadPoolExecutor(max_workers=2)
     writes = []
+
+    if latency:
+        # serial per-panorama loop (the whole mesh works on one request);
+        # decode of the next item still overlaps device compute
+        times = []
+        try:
+            nxt = pool.submit(decode, todo[0][1]) if todo else None
+            for k, (i, f, raw) in enumerate(todo):
+                rgb_np, baseline_np, gt = nxt.result()
+                nxt = (pool.submit(decode, todo[k + 1][1])
+                       if k + 1 < len(todo) else None)
+                fn = lat_fn_for(baseline_np)
+                fargs = (jnp.asarray(rgb_np),)
+                if base_model is None:
+                    fargs += (jnp.asarray(baseline_np),)
+                t0 = time.monotonic()
+                out_u16, _, emap = fn(*fargs)
+                out_np = np.asarray(jax.device_get(out_u16))
+                base_np = np.asarray(jax.device_get(emap))
+                ms = int((time.monotonic() - t0) * 1000)
+                times.append(ms)
+                out_file = os.path.join(result_folder, raw + ".png")
+                writes.append(pool.submit(pio.save_png16, out_file, out_np))
+                if gt is not None:
+                    m = pmetrics.paired_metrics(
+                        jnp.asarray(gt), jnp.asarray(base_np),
+                        jnp.asarray(out_np.astype(np.float32) / 65535.0),
+                        align_way=cfg.align_way, cap_depth=cfg.cap_depth,
+                        zenith_range=cfg.zenith_range)
+                    m.save(os.path.join(result_folder,
+                                        raw + ".aligned.txt"))
+                    m.print()
+                    all_metrics.append(m)
+                if profile:
+                    log(f"{i}/{len(rgb_files)} {raw}: latency e2e {ms} ms")
+            for wjob in writes:
+                wjob.result()
+        finally:
+            pool.shutdown(wait=True)
+        if times:
+            log(f"[run_batch_e2e] done: {len(times)} panoramas, "
+                f"time_e2e_avg:{np.mean(times):.1f} (view-parallel)")
+        return all_metrics
 
     def submit(chunk):
         """chunk: list of (i, raw, rgb_np, baseline_np, gt)."""

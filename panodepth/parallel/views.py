@@ -137,12 +137,15 @@ def build_latency_e2e(persp_model, persp_params, cfg: MergeConfig,
                       axis: str = "vp", debug: bool = False):
     """One-panorama view-parallel device graph.
 
-    Returns ``fn(rgb) -> (out_u16 (H, W), abcd (V, 4))`` (or
+    Returns ``fn(rgb) -> (out_u16 (H, W), abcd (V, 4), emap)`` (or
     ``fn(rgb, baseline)`` when no ``base_model`` is given, in which case
-    ``baseline_shape`` must name the baseline's static (h, w)).  Arguments
-    mirror :func:`panodepth.e2e.build_batched_e2e`; ``halo`` is the
+    ``baseline_shape`` must name the baseline's static (h, w)); ``emap``
+    is the 0~1 baseline panorama the views were registered against (the
+    CNN output, or the normalized given baseline).  Arguments mirror
+    :func:`panodepth.e2e.build_batched_e2e`; ``halo`` is the
     temporal-blocking depth of the width-sharded Jacobi (see
-    :func:`..parallel.spatial.jacobi_local`).
+    :func:`..parallel.spatial.jacobi_local`).  With ``debug`` the return
+    is ``(out, abcd, emap, pmaps (V', h, w), per-level targets)``.
 
     Requires a layout whose views share one shape at ``view_width`` (all
     built-in layouts do) and level widths divisible by the ``vp`` size.
@@ -291,15 +294,15 @@ def build_latency_e2e(persp_model, persp_params, cfg: MergeConfig,
         out = (jnp.clip(buf, 0.0, 1.0) * 65535.0).astype(jnp.uint16)
         if debug:
             return out, abcd_l, emap, pmaps, tuple(dbg_tgts)
-        return out, abcd_l
+        return out, abcd_l, emap
 
     sharded = P(axis)
     repl = P()
     in_specs = (repl, repl, repl) + ((repl,) if with_baseline else ()) \
         + (sharded, sharded, sharded)
-    out_specs = (P(None, axis), sharded)
+    out_specs = (P(None, axis), sharded, repl)
     if debug:
-        out_specs += (repl, sharded, P(None, axis))
+        out_specs = (P(None, axis), sharded, repl, sharded, P(None, axis))
     smapped = shard_map(body, mesh=mesh, in_specs=in_specs,
                         out_specs=out_specs)
 

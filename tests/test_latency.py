@@ -152,6 +152,73 @@ def test_latency_given_baseline():
     assert (out == np.asarray(out_own)).all()
 
 
+def test_run_batch_e2e_latency_driver(tmp_path):
+    """--latency through the file driver: results + metrics + resume.
+
+    Output values are not compared to the batched driver here — at random
+    init the real CNN chaotically amplifies sub-ulp graph differences (see
+    module docstring); the graph-level tests above pin correctness."""
+    import json
+    import math
+
+    from panodepth import io as pio
+    from panodepth.config import ViewLayout, register_layout
+    from panodepth.e2e import run_batch_e2e
+    from panodepth.models import train as ptrain
+    from panodepth.models.perspective import PerspectiveDepthNet
+
+    d2r = math.pi / 180.0
+    register_layout(ViewLayout(
+        "test_latency_drv",
+        fovs=np.array([(25 * d2r, 175 * d2r, 30 * d2r, 150 * d2r),
+                       (185 * d2r, 335 * d2r, 30 * d2r, 150 * d2r)]),
+        ranges=np.array([(170 * d2r, 30 * d2r, 40 * d2r, 140 * d2r),
+                         (330 * d2r, 190 * d2r, 40 * d2r, 140 * d2r)]),
+    ))
+    cfg = MergeConfig(layout_name="test_latency_drv", out_width=64)
+
+    s = 0.125
+    model = PerspectiveDepthNet(
+        widths=tuple(max(8, int(w * s)) for w in (64, 128, 256, 512)),
+        decoder_width=max(16, int(128 * s)))
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    ck = tmp_path / "ck"
+    ck.mkdir()
+    persp_ckpt = str(ck / "perspective_final.params.npz")
+    ptrain.save_params_npz(persp_ckpt, params)
+    (ck / "perspective.config.json").write_text(json.dumps(
+        dict(model="perspective", width_scale=s, view_size=64,
+             pano_width=64)))
+
+    rng = np.random.RandomState(7)
+    for d in ("rgb", "gt", "bl"):
+        (tmp_path / d).mkdir()
+    for i in range(2):
+        pio.save_jpg(str(tmp_path / "rgb" / f"p{i}.jpg"),
+                     rng.rand(32, 64, 3).astype(np.float32))
+        pio.save_png16(str(tmp_path / "gt" / f"p{i}.png"),
+                       (rng.rand(32, 64) * 60000).astype(np.uint16))
+        pio.save_png16(str(tmp_path / "bl" / f"p{i}.depth.png"),
+                       (rng.rand(32, 64) * 60000 + 2000).astype(np.uint16))
+
+    res = tmp_path / "res_hohonet_lat"
+    mets = run_batch_e2e(
+        str(tmp_path / "rgb"), str(tmp_path / "gt"), str(res), persp_ckpt,
+        cfg=cfg, baseline_folder=str(tmp_path / "bl"), view_width=64,
+        latency=True, latency_halo=4, log=lambda *a: None)
+    assert len(mets) == 2
+    for i in range(2):
+        out = pio.load_image01(str(res / f"p{i}.png"))
+        assert out.shape == (cfg.out_height, cfg.out_width)
+        assert (res / f"p{i}.aligned.txt").exists()
+    # rerun: everything skips (resume semantics preserved in latency mode)
+    mets2 = run_batch_e2e(
+        str(tmp_path / "rgb"), str(tmp_path / "gt"), str(res), persp_ckpt,
+        cfg=cfg, baseline_folder=str(tmp_path / "bl"), view_width=64,
+        latency=True, log=lambda *a: None)
+    assert mets2 == []
+
+
 def test_latency_rejects_mixed_shape_layouts():
     """Mixed-aspect layouts must fail loudly (use the dp graph instead)."""
     import math
