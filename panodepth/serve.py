@@ -21,6 +21,8 @@ CLI:
         --rgb-shape 1024x2048 --persp-ckpt ... --baseline-ckpt ...
     python -m panodepth.serve run OUT.xla            # smoke: random inputs
     python -m panodepth.serve describe OUT.xla       # inspect, no execution
+    python -m panodepth.serve daemon OUT.xla --port 8765   # persistent HTTP
+                                         # server w/ micro-batching (daemon.py)
 
 Python:
 
@@ -212,7 +214,21 @@ def main(argv=None) -> int:
         "without executing it")
     pd.add_argument("artifact")
 
-    for q in (pm, pe, pr, pd):
+    pn = sub.add_parser(
+        "daemon", help="persistent HTTP serving process: load the "
+        "artifact once, coalesce requests into device batches "
+        "(see panodepth.daemon)")
+    pn.add_argument("artifact")
+    pn.add_argument("--host", default="127.0.0.1")
+    pn.add_argument("--port", type=int, default=8765)
+    pn.add_argument("--max-delay-ms", type=float, default=5.0,
+                    help="micro-batching window after the first request "
+                         "of a batch arrives")
+    pn.add_argument("--no-warmup", action="store_true",
+                    help="skip the startup inference (first request "
+                         "pays the device page-in instead)")
+
+    for q in (pm, pe, pr, pd, pn):
         q.add_argument("--platform", default="auto",
                        choices=["auto", "cpu", "tpu"])
     args = p.parse_args(argv)
@@ -242,6 +258,11 @@ def main(argv=None) -> int:
         print(f"[serve] wrote {args.out} (+.meta.json)")
     elif args.cmd == "describe":
         print(f"[serve] {load(args.artifact).describe()}")
+    elif args.cmd == "daemon":
+        from .daemon import run_daemon
+
+        return run_daemon(args.artifact, args.host, args.port,
+                          args.max_delay_ms, warmup=not args.no_warmup)
     else:
         import time
 
