@@ -95,13 +95,22 @@ def init_state(model, rng, sample_input, tx=None) -> TrainState:
                       step=jnp.zeros((), jnp.int32))
 
 
-def make_train_step(model, tx=None, grad_weight: float = 0.5) -> Callable:
+def make_train_step(model, tx=None, grad_weight: float = 0.5,
+                    remat: bool = False) -> Callable:
     """Pure (state, batch) -> (state, metrics) step.  batch = (rgb, depth,
-    valid_mask)."""
+    valid_mask).
+
+    ``remat`` wraps the forward in :func:`jax.checkpoint`: the backward
+    pass recomputes activations instead of keeping them resident in HBM
+    between forward and backward — one extra forward's FLOPs for roughly
+    the forward's activation footprint back, the standard TPU lever for
+    larger batches/widths when a step OOMs.  Gradients are unchanged
+    (same ops, recomputed)."""
     tx = tx or make_optimizer()
+    apply = jax.checkpoint(model.apply) if remat else model.apply
 
     def loss_fn(params, rgb, depth, mask):
-        pred = model.apply(params, rgb)
+        pred = apply(params, rgb)
         return depth_loss(pred, depth, mask, grad_weight)
 
     def step(state: TrainState, batch):

@@ -49,6 +49,11 @@ def build_parser():
                         "larger --view-size; optimizer state starts fresh")
     p.add_argument("--debug-nans", action="store_true",
                    help="abort on the first NaN inside any jitted graph")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize activations in the backward pass "
+                        "(jax.checkpoint): ~1 extra forward per step for "
+                        "a much smaller activation footprint — use when "
+                        "a larger --batch-size/--width-scale OOMs")
     return p
 
 
@@ -140,8 +145,8 @@ def main(argv=None) -> int:
                                   step=state.step)
         print(f"[train] params initialized from {args.init_from}")
     mesh = make_mesh((len(jax.devices()), 1))
-    step_fn = ptrain.shard_train_step(ptrain.make_train_step(model, tx),
-                                      mesh, "dp")
+    step_fn = ptrain.shard_train_step(
+        ptrain.make_train_step(model, tx, remat=args.remat), mesh, "dp")
     data_sharding = NamedSharding(mesh, P("dp"))
     state = jax.device_put(state, NamedSharding(mesh, P()))
 

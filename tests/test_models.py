@@ -55,6 +55,30 @@ def test_train_step_reduces_loss(tiny_perspective):
     assert int(state.step) == 6
 
 
+def test_remat_step_matches_plain(tiny_perspective):
+    """jax.checkpoint recomputes the same ops: the rematerialized step
+    must produce the same loss and (to fusion-level noise) the same
+    updated params as the plain one."""
+    model, _ = tiny_perspective
+    rng = np.random.RandomState(3)
+    rgb = jnp.asarray(rng.rand(2, 64, 96, 3).astype(np.float32))
+    depth = jnp.asarray(rng.rand(2, 64, 96).astype(np.float32))
+    mask = jnp.ones((2, 64, 96), bool)
+    tx = ptrain.make_optimizer(lr=1e-3)
+    state0 = ptrain.init_state(model, jax.random.PRNGKey(5), rgb[:1], tx)
+    plain = jax.jit(ptrain.make_train_step(model, tx))
+    remat = jax.jit(ptrain.make_train_step(model, tx, remat=True))
+    s_a, m_a = plain(state0, (rgb, depth, mask))
+    s_b, m_b = remat(state0, (rgb, depth, mask))
+    np.testing.assert_allclose(float(m_a["loss"]), float(m_b["loss"]),
+                               rtol=1e-6)
+    flat_a = jax.tree_util.tree_leaves(s_a.params)
+    flat_b = jax.tree_util.tree_leaves(s_b.params)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
+
+
 def test_losses_basic():
     pred = jnp.full((1, 8, 8), 0.5)
     assert float(ptrain.berhu_loss(pred, pred)) == 0.0
