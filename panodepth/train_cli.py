@@ -54,6 +54,14 @@ def build_parser():
                         "(jax.checkpoint): ~1 extra forward per step for "
                         "a much smaller activation footprint — use when "
                         "a larger --batch-size/--width-scale OOMs")
+    p.add_argument("--coordinator", default=None, metavar="HOST:PORT",
+                   help="multi-host training: jax.distributed coordinator "
+                        "address; run one process per host with matching "
+                        "--num-processes/--process-id. --batch-size is the "
+                        "GLOBAL batch; each host loads its slice, gradients "
+                        "psum over ICI/DCN (see parallel/multihost.py)")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     return p
 
 
@@ -74,39 +82,59 @@ def main(argv=None) -> int:
     from .models import train as ptrain
     from .models.panoramic import PanoBaselineNet
     from .models.perspective import PerspectiveDepthNet
+    from .parallel import multihost as mh
     from .parallel.mesh import make_mesh
+
+    pidx, pcnt = 0, 1
+    if args.coordinator is not None:
+        # before ANY device use — jax.distributed owns backend bring-up
+        pidx, pcnt = mh.initialize(args.coordinator, args.num_processes,
+                                   args.process_id)
+    proc0 = pidx == 0
+    log = print if proc0 else (lambda *a, **k: None)
 
     n_dev = len(jax.devices())
     if args.batch_size % n_dev:
         raise SystemExit(
             f"--batch-size {args.batch_size} must be divisible by the "
             f"device count ({n_dev}): batches shard over the dp mesh axis")
+    local_bs = args.batch_size // pcnt
 
     if args.synth:
         pairs = None
-        print(f"[train] on-device synthetic scenes, "
-              f"{len(jax.devices())} device(s)")
+        log(f"[train] on-device synthetic scenes, {pcnt} process(es), "
+            f"{n_dev} device(s)")
     else:
         pairs = pdata.discover_pairs(args.rgb_folder, args.gt_folder,
                                      args.dataset)
         if not pairs:
             raise SystemExit("no (rgb, gt) pairs found")
-        print(f"[train] {len(pairs)} pairs, {len(jax.devices())} device(s)")
+        if pcnt > 1:
+            pairs = mh.process_shard(pairs, pidx, pcnt)
+            if not pairs:
+                raise SystemExit(f"process {pidx}: no pairs after "
+                                 f"sharding over {pcnt} hosts")
+        log(f"[train] {len(pairs)} pairs/host, {pcnt} process(es), "
+            f"{n_dev} device(s)")
+
+    # each process renders/loads only its slice of the global batch;
+    # synth seeds diverge per process so hosts draw disjoint scenes
+    seed = args.seed + pidx * 9973
 
     def make_batches(kind):
         if args.synth:
             from . import synth
 
             return synth.synth_batches(
-                args.batch_size, kind=kind, view_size=args.view_size,
-                pano_width=args.pano_width, seed=args.seed,
+                local_bs, kind=kind, view_size=args.view_size,
+                pano_width=args.pano_width, seed=seed,
                 version=args.synth_version)
         if kind == "perspective":
-            return pdata.perspective_batches(pairs, args.batch_size,
+            return pdata.perspective_batches(pairs, local_bs,
                                              view_size=args.view_size,
-                                             seed=args.seed)
-        return pdata.pano_batches(pairs, args.batch_size,
-                                  width=args.pano_width, seed=args.seed)
+                                             seed=seed)
+        return pdata.pano_batches(pairs, local_bs,
+                                  width=args.pano_width, seed=seed)
 
     s = args.width_scale
     if args.model == "perspective":
@@ -143,43 +171,76 @@ def main(argv=None) -> int:
         state = ptrain.TrainState(params=params,
                                   opt_state=state.opt_state,
                                   step=state.step)
-        print(f"[train] params initialized from {args.init_from}")
-    mesh = make_mesh((len(jax.devices()), 1))
+        log(f"[train] params initialized from {args.init_from}")
+    mesh = mh.global_mesh() if pcnt > 1 else make_mesh((n_dev, 1))
     step_fn = ptrain.shard_train_step(
         ptrain.make_train_step(model, tx, remat=args.remat), mesh, "dp")
     data_sharding = NamedSharding(mesh, P("dp"))
-    state = jax.device_put(state, NamedSharding(mesh, P()))
+    if pcnt > 1:
+        state = mh.replicate(mesh, state)
+    else:
+        state = jax.device_put(state, NamedSharding(mesh, P()))
 
     ckpt_path = os.path.abspath(os.path.join(args.ckpt_dir, args.model))
-    os.makedirs(args.ckpt_dir, exist_ok=True)
-    # model-architecture sidecar (argv-derived) written up front so EVERY
-    # checkpoint — including intermediates after a crash — is reconstructable
-    import json
+    if proc0:
+        os.makedirs(args.ckpt_dir, exist_ok=True)
+        # model-architecture sidecar (argv-derived) written up front so
+        # EVERY checkpoint — including intermediates after a crash — is
+        # reconstructable
+        import json
 
-    arch = dict(model=args.model, width_scale=args.width_scale,
-                view_size=args.view_size, pano_width=args.pano_width)
-    with open(os.path.join(args.ckpt_dir, f"{args.model}.config.json"),
-              "w") as fp:
-        json.dump(arch, fp)
+        arch = dict(model=args.model, width_scale=args.width_scale,
+                    view_size=args.view_size, pano_width=args.pano_width)
+        with open(os.path.join(args.ckpt_dir, f"{args.model}.config.json"),
+                  "w") as fp:
+            json.dump(arch, fp)
+
+    def checkpoint(tag):
+        # Orbax saves are COLLECTIVE under jax.distributed (every process
+        # participates in its sync barriers; the primary host writes), so
+        # all processes must call save together — a proc0-only call
+        # deadlocks until the barrier times out.  The plain-file npz write
+        # stays proc0-only.
+        host = (mh.fetch_replicated(state) if pcnt > 1 else state)
+        ptrain.save_checkpoint(f"{ckpt_path}_{tag}", host)
+        if tag == "final" and proc0:
+            ptrain.save_params_npz(f"{ckpt_path}_final.params.npz",
+                                   host.params)
+
     t0 = time.monotonic()
+    exec_step = step_fn
     for step, batch in enumerate(batches):
         if step >= args.steps:
             break
-        batch = tuple(jax.device_put(jnp.asarray(b), data_sharding)
-                      for b in batch)
-        state, metrics = step_fn(state, batch)
+        if pcnt > 1:
+            batch = tuple(mh.global_batch(mesh, b) for b in batch)
+            if exec_step is step_fn:
+                # compile process-locally, then sync hosts, then open the
+                # collective channels — compile-time skew across hosts
+                # (cold vs warm cache) must not eat into the communicator
+                # rendezvous window (multihost.barrier)
+                exec_step = step_fn.lower(state, batch).compile()
+                mh.barrier("train-step-compiled")
+        else:
+            batch = tuple(jax.device_put(jnp.asarray(b), data_sharding)
+                          for b in batch)
+        state, metrics = exec_step(state, batch)
         if step % args.log_every == 0:
             loss = float(metrics["loss"])
             gn = float(metrics["grad_norm"])
             rate = (step + 1) * args.batch_size / (time.monotonic() - t0)
-            print(f"[train] step {step} loss {loss:.4f} |g| {gn:.3f} "
-                  f"({rate:.1f} img/s)", flush=True)
+            log(f"[train] step {step} loss {loss:.4f} |g| {gn:.3f} "
+                f"({rate:.1f} img/s)", flush=True)
         if step and step % args.ckpt_every == 0:
-            ptrain.save_checkpoint(f"{ckpt_path}_{step}", state)
-    ptrain.save_checkpoint(f"{ckpt_path}_final", state)
-    ptrain.save_params_npz(f"{ckpt_path}_final.params.npz", state.params)
-    print(f"[train] done; checkpoint at {ckpt_path}_final "
-          f"(+ params-only {ckpt_path}_final.params.npz)")
+            checkpoint(str(step))
+    checkpoint("final")
+    if pcnt > 1:
+        # non-zero processes exit instantly after the last step while
+        # proc 0 is still serializing the checkpoint; without this they
+        # hit jax.distributed's (short) shutdown barrier and die noisily
+        mh.barrier("train-done", timeout_ms=1_800_000)
+    log(f"[train] done; checkpoint at {ckpt_path}_final "
+        f"(+ params-only {ckpt_path}_final.params.npz)")
     return 0
 
 
