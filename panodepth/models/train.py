@@ -77,9 +77,10 @@ def make_optimizer(lr: float = 1e-4, weight_decay: float = 1e-5,
     is identical across variants and checkpoints restore either way.
     """
     if steps is not None:
+        # the cosine tail must be non-empty: warmup < steps always
+        w = min(warmup, max(steps // 10, 1), max(steps - 1, 0))
         schedule = optax.warmup_cosine_decay_schedule(
-            0.0, lr, warmup_steps=min(warmup, max(steps // 10, 1)),
-            decay_steps=steps, end_value=lr * 0.05)
+            0.0, lr, warmup_steps=w, decay_steps=steps, end_value=lr * 0.05)
     else:
         schedule = optax.constant_schedule(lr)
     return optax.chain(

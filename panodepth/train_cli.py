@@ -47,6 +47,12 @@ def build_parser():
                    help="initialize params from an existing checkpoint "
                         "(orbax dir or .params.npz) — e.g. fine-tune at a "
                         "larger --view-size; optimizer state starts fresh")
+    p.add_argument("--resume", action="store_true",
+                   help="continue an interrupted run: restore the FULL "
+                        "train state (params + optimizer moments + step) "
+                        "from the newest checkpoint in ckpt_dir and pick "
+                        "up at the saved step (crash recovery; also "
+                        "extends a finished run when --steps is raised)")
     p.add_argument("--debug-nans", action="store_true",
                    help="abort on the first NaN inside any jitted graph")
     p.add_argument("--remat", action="store_true",
@@ -63,6 +69,30 @@ def build_parser():
     p.add_argument("--num-processes", type=int, default=None)
     p.add_argument("--process-id", type=int, default=None)
     return p
+
+
+def _latest_checkpoint(ckpt_path: str):
+    """Newest full-state checkpoint dir under ``<ckpt_path>_<tag>``.
+
+    Tags are the step index at save time plus ``final``; ``final`` wins
+    over any numbered intermediate (it is written last).
+    """
+    import glob
+
+    best = None
+    for p in glob.glob(ckpt_path + "_*"):
+        if not os.path.isdir(p):
+            continue
+        tag = p[len(ckpt_path) + 1:]
+        if tag == "final":
+            rank = float("inf")
+        elif tag.isdigit():
+            rank = int(tag)
+        else:
+            continue
+        if best is None or rank > best[0]:
+            best = (rank, p)
+    return None if best is None else best[1]
 
 
 def main(argv=None) -> int:
@@ -117,11 +147,7 @@ def main(argv=None) -> int:
         log(f"[train] {len(pairs)} pairs/host, {pcnt} process(es), "
             f"{n_dev} device(s)")
 
-    # each process renders/loads only its slice of the global batch;
-    # synth seeds diverge per process so hosts draw disjoint scenes
-    seed = args.seed + pidx * 9973
-
-    def make_batches(kind):
+    def make_batches(kind, seed):
         if args.synth:
             from . import synth
 
@@ -141,7 +167,7 @@ def main(argv=None) -> int:
         model = PerspectiveDepthNet(
             widths=tuple(max(8, int(w * s)) for w in (64, 128, 256, 512)),
             decoder_width=max(16, int(128 * s)))
-        batches = make_batches("perspective")
+        batch_kind = "perspective"
         sample = jnp.zeros((1, args.view_size, args.view_size, 3))
     elif args.model == "hohonet":
         from .models.hohonet import HorizonDepthNet
@@ -149,16 +175,32 @@ def main(argv=None) -> int:
         model = HorizonDepthNet(
             widths=tuple(max(8, int(w * s)) for w in (32, 64, 128, 256)),
             horizon_dim=max(32, int(256 * s)))
-        batches = make_batches("pano")
+        batch_kind = "pano"
         sample = jnp.zeros((1, args.pano_width // 2, args.pano_width, 3))
     else:
         model = PanoBaselineNet(
             widths=tuple(max(8, int(w * s)) for w in (32, 64, 128, 256)))
-        batches = make_batches("pano")
+        batch_kind = "pano"
         sample = jnp.zeros((1, args.pano_width // 2, args.pano_width, 3))
 
+    ckpt_path = os.path.abspath(os.path.join(args.ckpt_dir, args.model))
     tx = ptrain.make_optimizer(lr=args.lr, steps=args.steps)
     state = ptrain.init_state(model, jax.random.PRNGKey(0), sample, tx)
+    start_step = 0
+    if args.resume:
+        if args.init_from:
+            raise SystemExit("--resume and --init-from are exclusive: "
+                             "resume restores params AND optimizer state")
+        latest = _latest_checkpoint(ckpt_path)
+        if latest is None:
+            log(f"[train] --resume: no checkpoint under {ckpt_path}_*, "
+                "starting fresh")
+        else:
+            # every process restores the same full TrainState (params,
+            # AdamW moments, step) from the shared filesystem
+            state = ptrain.restore_checkpoint(latest, state)
+            start_step = int(state.step)
+            log(f"[train] resumed {latest} at step {start_step}")
     if args.init_from:
         if args.init_from.endswith(".npz"):
             params = ptrain.load_params_npz(args.init_from, state.params)
@@ -172,6 +214,13 @@ def main(argv=None) -> int:
                                   opt_state=state.opt_state,
                                   step=state.step)
         log(f"[train] params initialized from {args.init_from}")
+    # each process renders/loads only its slice of the global batch; synth
+    # seeds diverge per process so hosts draw disjoint scenes, and a resume
+    # offsets the seed so the continued run draws a FRESH deterministic
+    # stream instead of replaying the batches already consumed
+    batches = make_batches(batch_kind,
+                           args.seed + pidx * 9973 + start_step * 131)
+
     mesh = mh.global_mesh() if pcnt > 1 else make_mesh((n_dev, 1))
     step_fn = ptrain.shard_train_step(
         ptrain.make_train_step(model, tx, remat=args.remat), mesh, "dp")
@@ -181,7 +230,6 @@ def main(argv=None) -> int:
     else:
         state = jax.device_put(state, NamedSharding(mesh, P()))
 
-    ckpt_path = os.path.abspath(os.path.join(args.ckpt_dir, args.model))
     if proc0:
         os.makedirs(args.ckpt_dir, exist_ok=True)
         # model-architecture sidecar (argv-derived) written up front so
@@ -209,7 +257,7 @@ def main(argv=None) -> int:
 
     t0 = time.monotonic()
     exec_step = step_fn
-    for step, batch in enumerate(batches):
+    for step, batch in enumerate(batches, start=start_step):
         if step >= args.steps:
             break
         if pcnt > 1:
@@ -228,7 +276,8 @@ def main(argv=None) -> int:
         if step % args.log_every == 0:
             loss = float(metrics["loss"])
             gn = float(metrics["grad_norm"])
-            rate = (step + 1) * args.batch_size / (time.monotonic() - t0)
+            rate = ((step + 1 - start_step) * args.batch_size
+                    / (time.monotonic() - t0))
             log(f"[train] step {step} loss {loss:.4f} |g| {gn:.3f} "
                 f"({rate:.1f} img/s)", flush=True)
         if step and step % args.ckpt_every == 0:

@@ -128,3 +128,40 @@ def test_analyze_cli_mono360(tmp_path, capsys):
     # a clean reciprocal relation survives the disp->depth chain well
     assert rec["rmse"] < 0.05 and rec["delta1"] > 0.8, rec
     assert os.path.exists(shift_f)
+
+
+def test_train_cli_resume(tmp_path, capsys):
+    """--resume restores the FULL train state (params + optimizer moments
+    + step counter) from the newest checkpoint and continues at the saved
+    step instead of restarting from 0."""
+    from panodepth import train_cli
+
+    ckpt_dir = str(tmp_path / "ck")
+    common = ["panoramic", "x", "x", ckpt_dir, "--synth", "--batch-size",
+              "8", "--pano-width", "64", "--width-scale", "0.25",
+              "--log-every", "1", "--platform", "cpu"]
+    rc = train_cli.main(common + ["--steps", "3", "--ckpt-every", "2"])
+    assert rc in (0, None)
+    capsys.readouterr()
+    # intermediate (tag = step index at save time) + final both exist
+    assert os.path.isdir(os.path.join(ckpt_dir, "panoramic_2"))
+    assert os.path.isdir(os.path.join(ckpt_dir, "panoramic_final"))
+
+    rc = train_cli.main(common + ["--steps", "5", "--ckpt-every", "1000",
+                                  "--resume"])
+    assert rc in (0, None)
+    out = capsys.readouterr().out
+    # restored at step 3 (the final ckpt of the 3-step run), ran 3..4 only
+    assert "resumed" in out and "at step 3" in out, out
+    assert "step 3 " in out and "step 4 " in out
+    assert "step 0 " not in out and "step 2 " not in out
+
+    # --resume with no checkpoints starts fresh from step 0
+    fresh_dir = str(tmp_path / "fresh")
+    rc = train_cli.main(
+        ["panoramic", "x", "x", fresh_dir, "--synth", "--steps", "1",
+         "--batch-size", "8", "--pano-width", "64", "--width-scale",
+         "0.25", "--log-every", "1", "--platform", "cpu", "--resume"])
+    assert rc in (0, None)
+    out = capsys.readouterr().out
+    assert "starting fresh" in out and "step 0 " in out
