@@ -255,8 +255,24 @@ def main(argv=None) -> int:
             ptrain.save_params_npz(f"{ckpt_path}_final.params.npz",
                                    host.params)
 
+    # Preemption grace: SIGTERM/SIGINT set a flag; the loop finishes the
+    # in-flight step, checkpoints (single-host only: orbax saves are
+    # collective under jax.distributed and the signal is not synchronized
+    # across hosts, so multi-host relies on the last --ckpt-every save),
+    # and exits 0 so a supervisor restart with --resume continues.
+    import signal
+
+    caught = {}
+
+    def _on_signal(signum, frame):
+        caught["sig"] = signal.Signals(signum).name
+
+    prev_handlers = {s: signal.signal(s, _on_signal)
+                     for s in (signal.SIGTERM, signal.SIGINT)}
+
     t0 = time.monotonic()
     exec_step = step_fn
+    interrupted = False
     for step, batch in enumerate(batches, start=start_step):
         if step >= args.steps:
             break
@@ -280,16 +296,32 @@ def main(argv=None) -> int:
                     / (time.monotonic() - t0))
             log(f"[train] step {step} loss {loss:.4f} |g| {gn:.3f} "
                 f"({rate:.1f} img/s)", flush=True)
+        if caught:
+            interrupted = True
+            if pcnt == 1:
+                checkpoint(str(step))
+                log(f"[train] {caught['sig']}: checkpointed at step "
+                    f"{step + 1}; restart with --resume to continue",
+                    flush=True)
+            else:
+                log(f"[train] {caught['sig']}: exiting after step "
+                    f"{step + 1}; --resume continues from the last "
+                    f"--ckpt-every checkpoint", flush=True)
+            break
         if step and step % args.ckpt_every == 0:
             checkpoint(str(step))
-    checkpoint("final")
+    for s, h in prev_handlers.items():
+        signal.signal(s, h)
+    if not interrupted:
+        checkpoint("final")
     if pcnt > 1:
         # non-zero processes exit instantly after the last step while
         # proc 0 is still serializing the checkpoint; without this they
         # hit jax.distributed's (short) shutdown barrier and die noisily
         mh.barrier("train-done", timeout_ms=1_800_000)
-    log(f"[train] done; checkpoint at {ckpt_path}_final "
-        f"(+ params-only {ckpt_path}_final.params.npz)")
+    if not interrupted:
+        log(f"[train] done; checkpoint at {ckpt_path}_final "
+            f"(+ params-only {ckpt_path}_final.params.npz)")
     return 0
 
 

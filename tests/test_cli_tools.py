@@ -165,3 +165,57 @@ def test_train_cli_resume(tmp_path, capsys):
     assert rc in (0, None)
     out = capsys.readouterr().out
     assert "starting fresh" in out and "step 0 " in out
+
+
+def test_train_cli_preemption_grace(tmp_path):
+    """SIGTERM mid-training checkpoints the in-flight state and exits 0;
+    --resume then continues from the preemption point."""
+    import re
+    import signal
+    import subprocess
+    import sys
+    import time as _time
+
+    ck = str(tmp_path / "ck")
+    logf = str(tmp_path / "out.log")
+    argv = [sys.executable, "-m", "panodepth.train_cli", "panoramic", "x",
+            "x", ck, "--synth", "--steps", "500", "--batch-size", "8",
+            "--pano-width", "64", "--width-scale", "0.25", "--log-every",
+            "1", "--ckpt-every", "100000", "--platform", "cpu"]
+    with open(logf, "w") as fp:
+        p = subprocess.Popen(argv, stdout=fp, stderr=subprocess.STDOUT,
+                             text=True, cwd=os.path.dirname(
+                                 os.path.dirname(os.path.abspath(__file__))))
+    try:
+        deadline = _time.monotonic() + 420
+        while _time.monotonic() < deadline:
+            if "step 2 " in open(logf).read():
+                break
+            if p.poll() is not None:
+                raise AssertionError(
+                    f"train exited early:\n{open(logf).read()[-3000:]}")
+            _time.sleep(1)
+        else:
+            raise AssertionError(
+                f"never reached step 2:\n{open(logf).read()[-3000:]}")
+        p.send_signal(signal.SIGTERM)
+        rc = p.wait(timeout=180)
+    finally:
+        if p.poll() is None:
+            p.kill()
+            p.wait()
+    out = open(logf).read()
+    assert rc == 0, out[-3000:]
+    m = re.search(r"SIGTERM: checkpointed at step (\d+)", out)
+    assert m, out[-3000:]
+    saved = int(m.group(1))
+
+    from panodepth import train_cli
+
+    rc = train_cli.main(["panoramic", "x", "x", ck, "--synth", "--steps",
+                         str(saved + 2), "--batch-size", "8",
+                         "--pano-width", "64", "--width-scale", "0.25",
+                         "--log-every", "1", "--platform", "cpu",
+                         "--resume"])
+    assert rc in (0, None)
+    assert os.path.exists(os.path.join(ck, "panoramic_final.params.npz"))
