@@ -65,8 +65,48 @@ class TrainState:
     step: jnp.ndarray
 
 
+class EmaState(struct.PyTreeNode):
+    ema: Any
+
+
+def ema_of_params(decay: float) -> "optax.GradientTransformation":
+    """Terminal optax transform tracking an EMA of the PARAMETERS.
+
+    Sits last in the chain, so the incoming ``updates`` are the final
+    deltas: the post-step params are ``params + updates`` and the EMA
+    advances ``e <- d*e + (1-d)*p_new`` while the updates pass through
+    untouched.  Riding inside ``opt_state`` keeps the TrainState
+    structure (params, opt_state, step) unchanged — checkpoints,
+    replication, and --resume all work with zero special-casing.
+    """
+
+    def init(params):
+        # real copies: jnp.asarray would ALIAS the param buffers, and the
+        # donated train step then sees the same buffer twice
+        return EmaState(ema=jax.tree_util.tree_map(jnp.copy, params))
+
+    def update(updates, state, params=None):
+        new_p = optax.apply_updates(params, updates)
+        ema = jax.tree_util.tree_map(
+            lambda e, p: decay * e + (1.0 - decay) * p, state.ema, new_p)
+        return updates, EmaState(ema=ema)
+
+    return optax.GradientTransformation(init, update)
+
+
+def ema_params(opt_state):
+    """Extract the EMA param pytree from an opt_state built with
+    ``make_optimizer(ema=...)``; None when EMA was not enabled."""
+    for leaf_state in jax.tree_util.tree_leaves(
+            opt_state, is_leaf=lambda x: isinstance(x, EmaState)):
+        if isinstance(leaf_state, EmaState):
+            return leaf_state.ema
+    return None
+
+
 def make_optimizer(lr: float = 1e-4, weight_decay: float = 1e-5,
-                   steps: Optional[int] = None, warmup: int = 200):
+                   steps: Optional[int] = None, warmup: int = 200,
+                   ema: Optional[float] = None):
     """AdamW with global-norm clipping.
 
     With ``steps``, uses linear warmup (``warmup`` steps) into cosine decay
@@ -75,6 +115,9 @@ def make_optimizer(lr: float = 1e-4, weight_decay: float = 1e-5,
     perspective.py head comment).  The learning rate is ALWAYS passed as a
     schedule (constant without ``steps``) so the opt-state pytree structure
     is identical across variants and checkpoints restore either way.
+    With ``ema``, an exponential moving average of the params (decay
+    ``ema``) is tracked inside the opt_state (see :func:`ema_of_params`;
+    read back with :func:`ema_params`).
     """
     if steps is not None:
         # the cosine tail must be non-empty: warmup < steps always
@@ -83,10 +126,15 @@ def make_optimizer(lr: float = 1e-4, weight_decay: float = 1e-5,
             0.0, lr, warmup_steps=w, decay_steps=steps, end_value=lr * 0.05)
     else:
         schedule = optax.constant_schedule(lr)
-    return optax.chain(
+    chain = [
         optax.clip_by_global_norm(1.0),
         optax.adamw(schedule, weight_decay=weight_decay),
-    )
+    ]
+    if ema is not None:
+        if not (0.0 < ema < 1.0):
+            raise ValueError(f"ema decay must be in (0, 1), got {ema}")
+        chain.append(ema_of_params(ema))
+    return optax.chain(*chain)
 
 
 def init_state(model, rng, sample_input, tx=None) -> TrainState:

@@ -47,6 +47,12 @@ def build_parser():
                    help="initialize params from an existing checkpoint "
                         "(orbax dir or .params.npz) — e.g. fine-tune at a "
                         "larger --view-size; optimizer state starts fresh")
+    p.add_argument("--ema", type=float, default=None, metavar="DECAY",
+                   help="track an exponential moving average of the params "
+                        "(e.g. 0.999) inside the optimizer state; the final "
+                        "checkpoint additionally writes "
+                        "<model>_final.ema.params.npz — the smoother "
+                        "weights usually evaluate better than the raw ones")
     p.add_argument("--resume", action="store_true",
                    help="continue an interrupted run: restore the FULL "
                         "train state (params + optimizer moments + step) "
@@ -184,7 +190,7 @@ def main(argv=None) -> int:
         sample = jnp.zeros((1, args.pano_width // 2, args.pano_width, 3))
 
     ckpt_path = os.path.abspath(os.path.join(args.ckpt_dir, args.model))
-    tx = ptrain.make_optimizer(lr=args.lr, steps=args.steps)
+    tx = ptrain.make_optimizer(lr=args.lr, steps=args.steps, ema=args.ema)
     state = ptrain.init_state(model, jax.random.PRNGKey(0), sample, tx)
     start_step = 0
     if args.resume:
@@ -254,6 +260,10 @@ def main(argv=None) -> int:
         if tag == "final" and proc0:
             ptrain.save_params_npz(f"{ckpt_path}_final.params.npz",
                                    host.params)
+            if args.ema is not None:
+                ptrain.save_params_npz(
+                    f"{ckpt_path}_final.ema.params.npz",
+                    ptrain.ema_params(host.opt_state))
 
     # Preemption grace: SIGTERM/SIGINT set a flag; the loop finishes the
     # in-flight step, checkpoints (single-host only: orbax saves are

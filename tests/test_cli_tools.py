@@ -70,11 +70,15 @@ def test_train_cli_synth_smoke(tmp_path):
     rc = train_cli.main([
         "panoramic", "x", "x", ckpt_dir, "--synth", "--steps", "3",
         "--batch-size", "8", "--pano-width", "64", "--width-scale", "0.25",
-        "--ckpt-every", "1000", "--log-every", "1", "--platform", "cpu"])
+        "--ckpt-every", "1000", "--log-every", "1", "--platform", "cpu",
+        "--ema", "0.9"])
     assert rc in (0, None)
     npz = os.path.join(ckpt_dir, "panoramic_final.params.npz")
     sidecar = os.path.join(ckpt_dir, "panoramic.config.json")
     assert os.path.exists(npz) and os.path.exists(sidecar)
+    # --ema writes the smoothed weights alongside, same tree as params
+    ema_npz = os.path.join(ckpt_dir, "panoramic_final.ema.params.npz")
+    assert os.path.exists(ema_npz)
     arch = json.load(open(sidecar))
     assert arch["model"] == "panoramic" and arch["pano_width"] == 64
 
@@ -85,6 +89,12 @@ def test_train_cli_synth_smoke(tmp_path):
     out = model.apply(params, jnp.zeros((1, 32, 64, 3)))
     assert out.shape == (1, 32, 64)
     assert bool(jnp.isfinite(out).all())
+
+    # the EMA weights load through the same e2e path (identical tree)
+    _, ema_p, _ = load_model_checkpoint(ema_npz)
+    out_e = model.apply(ema_p, jnp.zeros((1, 32, 64, 3)))
+    assert out_e.shape == (1, 32, 64)
+    assert bool(jnp.isfinite(out_e).all())
 
 
 def test_save_png16_level_env(tmp_path, monkeypatch):

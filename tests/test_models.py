@@ -219,3 +219,32 @@ def test_percentile99_topk_matches_sort(monkeypatch):
         monkeypatch.setenv("PANODEPTH_P99", "topk")
         got = np.asarray(pm._percentile99(flat))
         np.testing.assert_allclose(got, want, rtol=0, atol=2e-6)
+
+
+def test_ema_of_params_recurrence():
+    """make_optimizer(ema=d) tracks e <- d*e + (1-d)*p_new inside the
+    opt_state, extractable with ema_params; absent without the flag."""
+    import optax
+
+    params = {"w": jnp.ones((3,), jnp.float32)}
+    tx = ptrain.make_optimizer(lr=1e-2, ema=0.9)
+    st = tx.init(params)
+    assert ptrain.ema_params(st) is not None
+    np.testing.assert_array_equal(np.asarray(ptrain.ema_params(st)["w"]),
+                                  np.ones(3, np.float32))
+
+    grads = {"w": jnp.full((3,), 0.5, jnp.float32)}
+    p = params
+    e = np.ones(3, np.float64)
+    for _ in range(3):
+        updates, st = tx.update(grads, st, p)
+        p = optax.apply_updates(p, updates)
+        e = 0.9 * e + 0.1 * np.asarray(p["w"], np.float64)
+        np.testing.assert_allclose(np.asarray(ptrain.ema_params(st)["w"]),
+                                   e, rtol=1e-6)
+    # the EMA lags the raw params (they moved, it smooths)
+    assert not np.allclose(np.asarray(ptrain.ema_params(st)["w"]),
+                           np.asarray(p["w"]))
+
+    st_plain = ptrain.make_optimizer(lr=1e-2).init(params)
+    assert ptrain.ema_params(st_plain) is None
