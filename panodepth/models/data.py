@@ -88,9 +88,40 @@ def _to_rgb(img: np.ndarray) -> np.ndarray:
     return img[..., :3]
 
 
+def augment_batch(rgb: np.ndarray, depth: np.ndarray, valid: np.ndarray,
+                  rng: np.random.RandomState, pano: bool = False):
+    """Geometry-correct training augmentation (per sample, in place-safe).
+
+    * horizontal flip (p=0.5) — a mirrored scene is a valid scene, for
+      both equirect panoramas and perspective crops;
+    * ``pano``: random circular azimuth roll — an equirect panorama is
+      periodic in azimuth, so any roll is the same scene from a rotated
+      heading (the seam moves, content is identical);
+    * photometric gain on RGB only (x0.8..1.2, clipped) — depth is
+      invariant to exposure.
+
+    The same spatial transform is applied to rgb/depth/valid; only the
+    gain touches rgb.  New surface (the reference trains nothing).
+    """
+    rgb, depth, valid = rgb.copy(), depth.copy(), valid.copy()
+    for i in range(rgb.shape[0]):
+        if pano:
+            s = int(rng.randint(rgb.shape[2]))
+            rgb[i] = np.roll(rgb[i], s, axis=1)
+            depth[i] = np.roll(depth[i], s, axis=1)
+            valid[i] = np.roll(valid[i], s, axis=1)
+        if rng.rand() < 0.5:
+            rgb[i] = rgb[i][:, ::-1]
+            depth[i] = depth[i][:, ::-1]
+            valid[i] = valid[i][:, ::-1]
+        rgb[i] = np.clip(rgb[i] * rng.uniform(0.8, 1.2), 0.0, 1.0)
+    return rgb, depth, valid
+
+
 def pano_batches(pairs: List[Tuple[str, str]], batch_size: int,
                  width: int = 512, shuffle: bool = True,
-                 seed: int = 0, epochs: Optional[int] = None
+                 seed: int = 0, epochs: Optional[int] = None,
+                 augment: bool = False
                  ) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
     """Panoramic (rgb, depth, valid) batches at (width/2, width)."""
     h, w = width // 2, width
@@ -98,6 +129,9 @@ def pano_batches(pairs: List[Tuple[str, str]], batch_size: int,
         raise ValueError(
             f"need at least batch_size={batch_size} pairs, have {len(pairs)}")
     rng = np.random.RandomState(seed)
+    # augmentation rng is consumed only inside assemble (the lookahead
+    # decode thread); the epoch-shuffle rng stays main-thread-only
+    aug_rng = np.random.RandomState(seed + 0x5EED)
 
     def assemble(chunk):
         rgbs, depths, valids = [], [], []
@@ -108,9 +142,10 @@ def pano_batches(pairs: List[Tuple[str, str]], batch_size: int,
             d = _resize_nearest(depth, h, w)
             depths.append(d)
             valids.append(d >= 1e-4)
-        return (np.stack(rgbs).astype(np.float32),
-                np.stack(depths).astype(np.float32),
-                np.stack(valids))
+        out = (np.stack(rgbs).astype(np.float32),
+               np.stack(depths).astype(np.float32),
+               np.stack(valids))
+        return augment_batch(*out, aug_rng, pano=True) if augment else out
 
     def chunks():
         epoch = 0
@@ -150,7 +185,8 @@ def _gather_view(img: np.ndarray, fov, h: int, w: int,
 
 def perspective_batches(pairs: List[Tuple[str, str]], batch_size: int,
                         view_size: int = 256, shuffle: bool = True,
-                        seed: int = 0, epochs: Optional[int] = None
+                        seed: int = 0, epochs: Optional[int] = None,
+                        augment: bool = False
                         ) -> Iterator[Tuple[np.ndarray, np.ndarray,
                                             np.ndarray]]:
     """Perspective (rgb, depth, valid) crops of (view_size, view_size).
@@ -163,6 +199,7 @@ def perspective_batches(pairs: List[Tuple[str, str]], batch_size: int,
         raise ValueError(
             f"need at least batch_size={batch_size} pairs, have {len(pairs)}")
     rng = np.random.RandomState(seed)
+    aug_rng = np.random.RandomState(seed + 0x5EED)
 
     def assemble(work):
         chunk, fovs = work
@@ -176,9 +213,10 @@ def perspective_batches(pairs: List[Tuple[str, str]], batch_size: int,
                              nearest=True)
             depths.append(d)
             valids.append(d >= 1e-4)
-        return (np.stack(rgbs).astype(np.float32),
-                np.stack(depths).astype(np.float32),
-                np.stack(valids))
+        out = (np.stack(rgbs).astype(np.float32),
+               np.stack(depths).astype(np.float32),
+               np.stack(valids))
+        return augment_batch(*out, aug_rng) if augment else out
 
     def work_items():
         # windows are drawn on the main thread so the single rng stays

@@ -47,6 +47,11 @@ def build_parser():
                    help="initialize params from an existing checkpoint "
                         "(orbax dir or .params.npz) — e.g. fine-tune at a "
                         "larger --view-size; optimizer state starts fresh")
+    p.add_argument("--augment", action="store_true",
+                   help="geometry-correct train-time augmentation on file "
+                        "datasets: horizontal flip + photometric gain, plus "
+                        "circular azimuth rolls for panoramic batches "
+                        "(--synth scenes are unlimited and skip this)")
     p.add_argument("--ema", type=float, default=None, metavar="DECAY",
                    help="track an exponential moving average of the params "
                         "(e.g. 0.999) inside the optimizer state; the final "
@@ -164,9 +169,11 @@ def main(argv=None) -> int:
         if kind == "perspective":
             return pdata.perspective_batches(pairs, local_bs,
                                              view_size=args.view_size,
-                                             seed=seed)
+                                             seed=seed,
+                                             augment=args.augment)
         return pdata.pano_batches(pairs, local_bs,
-                                  width=args.pano_width, seed=seed)
+                                  width=args.pano_width, seed=seed,
+                                  augment=args.augment)
 
     s = args.width_scale
     if args.model == "perspective":
