@@ -47,6 +47,17 @@ def build_parser():
                    help="initialize params from an existing checkpoint "
                         "(orbax dir or .params.npz) — e.g. fine-tune at a "
                         "larger --view-size; optimizer state starts fresh")
+    p.add_argument("--eval-every", type=int, default=0, metavar="N",
+                   help="every N steps, score a FIXED held-out batch set "
+                        "(drawn once from a disjoint seed) and log "
+                        "val_loss — with --ema, the EMA weights are "
+                        "scored too (quantifies the smoothing win)")
+    p.add_argument("--eval-batches", type=int, default=2,
+                   help="number of held-out batches for --eval-every")
+    p.add_argument("--metrics-out", default=None, metavar="FILE",
+                   help="append one JSON line per logged step / eval "
+                        "(structured training observability; process 0 "
+                        "only)")
     p.add_argument("--augment", action="store_true",
                    help="geometry-correct train-time augmentation on file "
                         "datasets: horizontal flip + photometric gain, plus "
@@ -114,6 +125,7 @@ def main(argv=None) -> int:
         jax.config.update("jax_platforms", args.platform)
     import jax
     import jax.numpy as jnp
+    import numpy as np
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     if args.debug_nans:
@@ -272,6 +284,57 @@ def main(argv=None) -> int:
                     f"{ckpt_path}_final.ema.params.npz",
                     ptrain.ema_params(host.opt_state))
 
+    import json
+
+    mout = open(args.metrics_out, "a") if (proc0 and args.metrics_out) \
+        else None
+
+    def emit(rec):
+        if mout is not None:
+            mout.write(json.dumps(rec) + "\n")
+            mout.flush()
+
+    # held-out validation: a FIXED batch set from a seed stream disjoint
+    # from every training process's, loaded once and re-scored in place
+    run_eval = None
+    if args.eval_every:
+        import itertools
+
+        raw = list(itertools.islice(
+            make_batches(batch_kind, args.seed + 999_331),
+            args.eval_batches))
+        if pcnt > 1:
+            eval_data = [tuple(mh.global_batch(mesh, np.asarray(b))
+                               for b in bt) for bt in raw]
+        else:
+            eval_data = [tuple(jax.device_put(jnp.asarray(b), data_sharding)
+                               for b in bt) for bt in raw]
+
+        def _val_loss(params, batch):
+            rgb, depth, mask = batch
+            return ptrain.depth_loss(model.apply(params, rgb), depth, mask)
+
+        eval_jit = jax.jit(
+            _val_loss,
+            in_shardings=(NamedSharding(mesh, P()), (data_sharding,) * 3),
+            out_shardings=NamedSharding(mesh, P()))
+        _eval_compiled = {}
+
+        def run_eval(params):
+            fn = _eval_compiled.get("fn")
+            if fn is None:
+                if pcnt > 1:
+                    # same compile-then-barrier discipline as the train
+                    # step: a cold-cache compile on one host must not eat
+                    # the collective rendezvous window
+                    fn = eval_jit.lower(params, eval_data[0]).compile()
+                    mh.barrier("eval-compiled")
+                else:
+                    fn = eval_jit
+                _eval_compiled["fn"] = fn
+            return sum(float(fn(params, bt)) for bt in eval_data) / \
+                len(eval_data)
+
     # Preemption grace: SIGTERM/SIGINT set a flag; the loop finishes the
     # in-flight step, checkpoints (single-host only: orbax saves are
     # collective under jax.distributed and the signal is not synchronized
@@ -313,6 +376,17 @@ def main(argv=None) -> int:
                     / (time.monotonic() - t0))
             log(f"[train] step {step} loss {loss:.4f} |g| {gn:.3f} "
                 f"({rate:.1f} img/s)", flush=True)
+            emit(dict(step=step, loss=loss, grad_norm=gn,
+                      img_per_sec=round(rate, 2)))
+        if run_eval is not None and (step + 1) % args.eval_every == 0:
+            rec = dict(step=step, val_loss=run_eval(state.params))
+            if args.ema is not None:
+                rec["val_loss_ema"] = run_eval(
+                    ptrain.ema_params(state.opt_state))
+            log(f"[train] step {step} val {rec['val_loss']:.4f}"
+                + (f" (ema {rec['val_loss_ema']:.4f})"
+                   if args.ema is not None else ""), flush=True)
+            emit(rec)
         if caught:
             interrupted = True
             if pcnt == 1:
@@ -336,6 +410,8 @@ def main(argv=None) -> int:
         # proc 0 is still serializing the checkpoint; without this they
         # hit jax.distributed's (short) shutdown barrier and die noisily
         mh.barrier("train-done", timeout_ms=1_800_000)
+    if mout is not None:
+        mout.close()
     if not interrupted:
         log(f"[train] done; checkpoint at {ckpt_path}_final "
             f"(+ params-only {ckpt_path}_final.params.npz)")

@@ -229,3 +229,29 @@ def test_train_cli_preemption_grace(tmp_path):
                          "--resume"])
     assert rc in (0, None)
     assert os.path.exists(os.path.join(ck, "panoramic_final.params.npz"))
+
+
+def test_train_cli_eval_and_metrics_out(tmp_path):
+    """--eval-every scores a fixed held-out set (raw + EMA weights) and
+    --metrics-out appends structured JSON lines."""
+    from panodepth import train_cli
+
+    ckpt_dir = str(tmp_path / "ck")
+    mfile = str(tmp_path / "metrics.jsonl")
+    rc = train_cli.main([
+        "panoramic", "x", "x", ckpt_dir, "--synth", "--steps", "4",
+        "--batch-size", "8", "--pano-width", "64", "--width-scale", "0.25",
+        "--ckpt-every", "1000", "--log-every", "1", "--platform", "cpu",
+        "--ema", "0.9", "--eval-every", "2", "--eval-batches", "1",
+        "--metrics-out", mfile])
+    assert rc in (0, None)
+    recs = [json.loads(l) for l in open(mfile)]
+    losses = [r for r in recs if "loss" in r]
+    vals = [r for r in recs if "val_loss" in r]
+    assert len(losses) == 4 and len(vals) == 2
+    assert vals[0]["step"] == 1 and vals[1]["step"] == 3
+    for v in vals:
+        assert np.isfinite(v["val_loss"]) and np.isfinite(v["val_loss_ema"])
+    # 0.9-decay EMA after <=4 steps stays near init: it must differ from
+    # the raw weights' score
+    assert vals[-1]["val_loss"] != vals[-1]["val_loss_ema"]
