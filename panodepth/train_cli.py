@@ -153,6 +153,7 @@ def main(argv=None) -> int:
             f"device count ({n_dev}): batches shard over the dp mesh axis")
     local_bs = args.batch_size // pcnt
 
+    val_pairs = None
     if args.synth:
         pairs = None
         log(f"[train] on-device synthetic scenes, {pcnt} process(es), "
@@ -162,6 +163,20 @@ def main(argv=None) -> int:
                                      args.dataset)
         if not pairs:
             raise SystemExit("no (rgb, gt) pairs found")
+        if args.eval_every:
+            # a REAL holdout: every 10th pair leaves the training set
+            # (before host sharding, so the split is global and
+            # identical on every process); the val list is padded by
+            # repetition up to one batch when the dataset is tiny
+            val_pairs = pairs[::10]
+            pairs = [p for i, p in enumerate(pairs) if i % 10]
+            if not pairs:
+                raise SystemExit("dataset too small to hold out a "
+                                 "validation split (--eval-every)")
+            log(f"[train] holding out {len(val_pairs)} pairs for "
+                f"--eval-every validation")
+            while len(val_pairs) < local_bs:
+                val_pairs = val_pairs * 2
         if pcnt > 1:
             pairs = mh.process_shard(pairs, pidx, pcnt)
             if not pairs:
@@ -170,7 +185,7 @@ def main(argv=None) -> int:
         log(f"[train] {len(pairs)} pairs/host, {pcnt} process(es), "
             f"{n_dev} device(s)")
 
-    def make_batches(kind, seed):
+    def make_batches(kind, seed, src=None, augment=None):
         if args.synth:
             from . import synth
 
@@ -178,14 +193,16 @@ def main(argv=None) -> int:
                 local_bs, kind=kind, view_size=args.view_size,
                 pano_width=args.pano_width, seed=seed,
                 version=args.synth_version)
+        src = pairs if src is None else src
+        augment = args.augment if augment is None else augment
         if kind == "perspective":
-            return pdata.perspective_batches(pairs, local_bs,
+            return pdata.perspective_batches(src, local_bs,
                                              view_size=args.view_size,
                                              seed=seed,
-                                             augment=args.augment)
-        return pdata.pano_batches(pairs, local_bs,
+                                             augment=augment)
+        return pdata.pano_batches(src, local_bs,
                                   width=args.pano_width, seed=seed,
-                                  augment=args.augment)
+                                  augment=augment)
 
     s = args.width_scale
     if args.model == "perspective":
@@ -301,7 +318,8 @@ def main(argv=None) -> int:
         import itertools
 
         raw = list(itertools.islice(
-            make_batches(batch_kind, args.seed + 999_331),
+            make_batches(batch_kind, args.seed + 999_331, src=val_pairs,
+                         augment=False),
             args.eval_batches))
         if pcnt > 1:
             eval_data = [tuple(mh.global_batch(mesh, np.asarray(b))

@@ -255,3 +255,34 @@ def test_train_cli_eval_and_metrics_out(tmp_path):
     # 0.9-decay EMA after <=4 steps stays near init: it must differ from
     # the raw weights' score
     assert vals[-1]["val_loss"] != vals[-1]["val_loss_ema"]
+
+
+def test_train_cli_file_mode_eval_holdout(tmp_path, capsys):
+    """File datasets with --eval-every: every 10th pair is REMOVED from
+    the training set and scored as the holdout (no leakage), with
+    --augment active on the training stream only."""
+    from conftest import make_equirect
+    from panodepth import train_cli
+
+    rgb_dir, gt_dir = str(tmp_path / "rgb"), str(tmp_path / "gt")
+    os.makedirs(rgb_dir), os.makedirs(gt_dir)
+    rng = np.random.RandomState(0)
+    for i in range(16):
+        rgb = np.stack([np.clip(make_equirect(64, 32)
+                                + 0.05 * rng.rand(32, 64), 0, 1)] * 3, -1)
+        pio.save_jpg(os.path.join(rgb_dir, f"p{i:02d}.jpg"), rgb)
+        pio.save_png16(os.path.join(gt_dir, f"p{i:02d}.png"),
+                       pio.to_uint16(make_equirect(64, 32)))
+
+    mfile = str(tmp_path / "m.jsonl")
+    rc = train_cli.main([
+        "panoramic", rgb_dir, gt_dir, str(tmp_path / "ck"), "--steps", "2",
+        "--batch-size", "8", "--pano-width", "64", "--width-scale", "0.25",
+        "--log-every", "1", "--platform", "cpu", "--eval-every", "1",
+        "--eval-batches", "1", "--augment", "--metrics-out", mfile])
+    assert rc in (0, None)
+    out = capsys.readouterr().out
+    assert "holding out 2 pairs" in out, out
+    assert "14 pairs/host" in out, out
+    vals = [json.loads(l) for l in open(mfile) if "val_loss" in l]
+    assert len(vals) == 2 and all(np.isfinite(v["val_loss"]) for v in vals)
