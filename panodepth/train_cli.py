@@ -47,6 +47,10 @@ def build_parser():
                    help="initialize params from an existing checkpoint "
                         "(orbax dir or .params.npz) — e.g. fine-tune at a "
                         "larger --view-size; optimizer state starts fresh")
+    p.add_argument("--trace", default=None, metavar="DIR",
+                   help="capture a jax.profiler trace of three steady-state "
+                        "steps into DIR (xprof/tensorboard format; process "
+                        "0 only) — same surface as the merge CLI's --trace")
     p.add_argument("--eval-every", type=int, default=0, metavar="N",
                    help="every N steps, score a FIXED held-out batch set "
                         "(drawn once from a disjoint seed) and log "
@@ -386,7 +390,14 @@ def main(argv=None) -> int:
         else:
             batch = tuple(jax.device_put(jnp.asarray(b), data_sharding)
                           for b in batch)
+        if args.trace and proc0 and step == start_step + 2:
+            # skip the compile step + one warm step, then trace three
+            jax.profiler.start_trace(args.trace)
         state, metrics = exec_step(state, batch)
+        if args.trace and proc0 and step == start_step + 4:
+            jax.block_until_ready(metrics["loss"])
+            jax.profiler.stop_trace()
+            log(f"[train] profiler trace written to {args.trace}")
         if step % args.log_every == 0:
             loss = float(metrics["loss"])
             gn = float(metrics["grad_norm"])
@@ -421,6 +432,11 @@ def main(argv=None) -> int:
             checkpoint(str(step))
     for s, h in prev_handlers.items():
         signal.signal(s, h)
+    if args.trace and proc0:
+        try:  # still running if the loop ended before the stop step
+            jax.profiler.stop_trace()
+        except RuntimeError:
+            pass
     if not interrupted:
         checkpoint("final")
     if pcnt > 1:

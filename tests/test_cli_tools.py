@@ -286,3 +286,17 @@ def test_train_cli_file_mode_eval_holdout(tmp_path, capsys):
     assert "14 pairs/host" in out, out
     vals = [json.loads(l) for l in open(mfile) if "val_loss" in l]
     assert len(vals) == 2 and all(np.isfinite(v["val_loss"]) for v in vals)
+
+
+def test_train_cli_trace(tmp_path):
+    """--trace writes an xprof trace of the steady-state steps."""
+    from panodepth import train_cli
+
+    tdir = str(tmp_path / "trace")
+    rc = train_cli.main([
+        "panoramic", "x", "x", str(tmp_path / "ck"), "--synth", "--steps",
+        "6", "--batch-size", "8", "--pano-width", "64", "--width-scale",
+        "0.25", "--log-every", "5", "--platform", "cpu", "--trace", tdir])
+    assert rc in (0, None)
+    files = [os.path.join(r, f) for r, _, fs in os.walk(tdir) for f in fs]
+    assert files, "no trace files written"
