@@ -49,6 +49,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--exclude", action="append", default=None,
                    help="skip panoramas whose filename contains this "
                         "substring (repeatable; Main.cpp:388-407)")
+    p.add_argument("--shard", default=None, metavar="I/N",
+                   help="fleet sharding: process the round-robin slice "
+                        "items[I::N] of the (filtered) todo list — N "
+                        "machines each take a disjoint subset with zero "
+                        "coordination; skip-if-exists resume still applies "
+                        "per item")
     p.add_argument("--profile", action="store_true",
                    help="report the time_Reg / time_Laplacian split via "
                         "stage-separated execution")
@@ -140,6 +146,7 @@ def main(argv=None) -> int:
                 baseline_folder=args.baseline_folder, dataset=args.dataset,
                 view_width=args.view_width, limit=args.limit,
                 include=args.include, exclude=args.exclude,
+                shard=args.shard,
                 profile=args.profile, batch_size=args.batch_size,
                 stream=args.stream, jacobi=args.jacobi,
                 extract_dtype=args.extract_dtype,
@@ -153,6 +160,7 @@ def main(argv=None) -> int:
                 views_folder=args.views_folder, dataset=args.dataset,
                 extract_rgb_views=not args.no_extract, pmap_ext=args.pmap_ext,
                 limit=args.limit, include=args.include, exclude=args.exclude,
+                shard=args.shard,
                 profile=args.profile, batch_size=args.batch_size,
                 stream=args.stream, jacobi=args.jacobi,
             )

@@ -327,7 +327,7 @@ def run_batch_e2e(rgb_folder: str, gt_folder: str, result_folder: str,
                   persp_ckpt: str, cfg: MergeConfig = MergeConfig(),
                   baseline_ckpt=None, baseline_folder=None,
                   dataset: str = "matterport", view_width=None,
-                  limit=None, include=None, exclude=None,
+                  limit=None, include=None, exclude=None, shard=None,
                   profile: bool = False, batch_size: int = 1,
                   stream: str = "auto", jacobi: str = "auto",
                   extract_dtype: str = "auto", infer_norm: str = "auto",
@@ -430,7 +430,7 @@ def run_batch_e2e(rgb_folder: str, gt_folder: str, result_folder: str,
             jacobi_kind=jacobi, extract_dtype=extract_dtype)
 
     rgb_files = pio.filter_files(pio.list_images(rgb_folder),
-                                 include, exclude, limit)
+                                 include, exclude, limit, shard)
     os.makedirs(result_folder, exist_ok=True)
     log(f"[run_batch_e2e] {len(rgb_files)} panoramas, on-device models, "
         + (f"view-parallel latency mode over {len(jax.devices())} devices"

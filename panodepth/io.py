@@ -186,16 +186,26 @@ def list_images(folder: str) -> List[str]:
 
 
 def filter_files(files: List[str], include=None, exclude=None,
-                 limit=None) -> List[str]:
+                 limit=None, shard=None) -> List[str]:
     """Runtime form of the reference's compile-time "only do some / skip
     certain cases" blocks (Main.cpp:357-407): substring match on the full
-    path, include then exclude, then head-``limit``.  Shared by the
-    file-based and on-device batch drivers so their filter semantics
-    cannot drift."""
+    path, include then exclude, then ``shard`` ("i/n": round-robin slice
+    ``files[i::n]`` for fleet runs — n machines each take a disjoint
+    subset with zero coordination), then head-``limit`` (per shard).
+    Shared by the file-based and on-device batch drivers so their filter
+    semantics cannot drift."""
     if include:
         files = [f for f in files if any(s in f for s in include)]
     if exclude:
         files = [f for f in files if not any(s in f for s in exclude)]
+    if shard is not None:
+        try:
+            i, n = (int(x) for x in str(shard).split("/"))
+        except ValueError:
+            raise ValueError(f"shard must look like 'i/n', got {shard!r}")
+        if not (n > 0 and 0 <= i < n):
+            raise ValueError(f"shard index out of range: {shard!r}")
+        files = files[i::n]
     if limit is not None:
         files = files[:limit]
     return files

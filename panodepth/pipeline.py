@@ -497,6 +497,7 @@ def run_batch(
     limit: Optional[int] = None,
     include: Optional[List[str]] = None,
     exclude: Optional[List[str]] = None,
+    shard: Optional[str] = None,
     profile: bool = False,
     manifest: bool = True,
     batch_size: int = 1,
@@ -517,7 +518,7 @@ def run_batch(
     quarantined items plus timing for elastic resume.
     """
     rgb_files = pio.filter_files(pio.list_images(rgb_folder),
-                                 include, exclude, limit)
+                                 include, exclude, limit, shard)
     log(f"[run_batch] {len(rgb_files)} RGB panoramas")
     layout = cfg.layout
 

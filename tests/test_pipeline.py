@@ -311,3 +311,25 @@ def test_u16_post_gather_normalize_exact(scene_files):
     assert delta.max() <= 1, f"post-gather normalize delta {delta.max()}"
     np.testing.assert_allclose(np.asarray(abcd_u16),
                                np.asarray(abcd_f32), rtol=0, atol=1e-5)
+
+
+def test_filter_files_shard():
+    """--shard i/n slices the todo list round-robin after include/exclude
+    and before limit; shards are disjoint and cover everything."""
+    files = [f"pano_{i:03d}.jpg" for i in range(10)]
+    s0 = pio.filter_files(files, shard="0/3")
+    s1 = pio.filter_files(files, shard="1/3")
+    s2 = pio.filter_files(files, shard="2/3")
+    assert s0 == files[0::3] and s1 == files[1::3] and s2 == files[2::3]
+    assert sorted(s0 + s1 + s2) == files
+    # limit applies per shard; include applies before sharding
+    assert pio.filter_files(files, shard="0/3", limit=2) == files[0::3][:2]
+    assert pio.filter_files(files, include=["_00"], shard="1/2") == [
+        "pano_001.jpg", "pano_003.jpg", "pano_005.jpg", "pano_007.jpg",
+        "pano_009.jpg"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        pio.filter_files(files, shard="3/3")
+    with _pytest.raises(ValueError):
+        pio.filter_files(files, shard="bogus")
