@@ -38,12 +38,13 @@ import numpy as np
 
 def initialize(coordinator: Optional[str] = None,
                num_processes: Optional[int] = None,
-               process_id: Optional[int] = None,
-               local_device_count: Optional[int] = None) -> Tuple[int, int]:
+               process_id: Optional[int] = None) -> Tuple[int, int]:
     """Bring up the jax.distributed coordination plane.
 
     Call ONCE, before any device use.  With no arguments, defers to JAX's
     environment auto-detection (TPU pod metadata / cluster env vars).
+    The local device set is the platform's own business (TPU: all chips
+    bound to this host; CPU tests: ``--xla_force_host_platform_device_count``).
     Returns ``(process_index, process_count)``.
     """
     import jax
@@ -52,8 +53,6 @@ def initialize(coordinator: Optional[str] = None,
     if coordinator is not None:
         kw.update(coordinator_address=coordinator,
                   num_processes=num_processes, process_id=process_id)
-    if local_device_count is not None:
-        kw.update(local_device_count=local_device_count)
     jax.distributed.initialize(**kw)
     return jax.process_index(), jax.process_count()
 
@@ -145,6 +144,38 @@ def barrier(name: str = "panodepth", timeout_ms: int = 600_000) -> None:
     client = distributed.global_state.client
     if client is not None:
         client.wait_at_barrier(name, timeout_in_ms=timeout_ms)
+
+
+def kv_set_once(key: str, value: str) -> None:
+    """First-writer-wins put into the coordination KV store.
+
+    A later set of the same key loses silently — exactly the semantics a
+    cross-host "one process announces, everyone converges" protocol needs
+    (see train_cli's preemption drain).  No-op without jax.distributed.
+    """
+    from jax._src import distributed
+
+    client = distributed.global_state.client
+    if client is None:
+        return
+    try:
+        client.key_value_set(key, value)
+    except Exception:  # noqa: BLE001 — ALREADY_EXISTS from a racing writer
+        pass
+
+
+def kv_try_get(key: str) -> Optional[str]:
+    """Non-blocking read from the coordination KV store (None if absent
+    or jax.distributed was never initialized)."""
+    from jax._src import distributed
+
+    client = distributed.global_state.client
+    if client is None:
+        return None
+    try:
+        return client.key_value_try_get(key)
+    except Exception:  # noqa: BLE001 — NOT_FOUND
+        return None
 
 
 def fetch_replicated(tree):

@@ -591,7 +591,12 @@ def run_batch(
     if manifest:
         import json
 
-        with open(os.path.join(result_folder, "manifest.json"), "w") as fp:
+        # per-shard manifests: N fleet shards writing one shared
+        # result_folder must not last-writer-clobber each other's
+        # completed/quarantine records
+        mname = ("manifest.json" if shard is None
+                 else f"manifest.{shard.replace('/', '-of-')}.json")
+        with open(os.path.join(result_folder, mname), "w") as fp:
             json.dump({
                 "completed": completed,
                 "skipped": skipped,

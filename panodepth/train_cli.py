@@ -100,22 +100,20 @@ def build_parser():
 def _latest_checkpoint(ckpt_path: str):
     """Newest full-state checkpoint dir under ``<ckpt_path>_<tag>``.
 
-    Tags are the step index at save time plus ``final``; ``final`` wins
-    over any numbered intermediate (it is written last).
+    Ranked by save time (mtime), NOT by tag: ranking ``final`` above
+    numbered tags would roll a preempted run-extension back to the stale
+    ``final`` of the previous run.  The numeric tag breaks mtime ties
+    (within one run a later save is a later step).
     """
     import glob
 
     best = None
     for p in glob.glob(ckpt_path + "_*"):
-        if not os.path.isdir(p):
-            continue
         tag = p[len(ckpt_path) + 1:]
-        if tag == "final":
-            rank = float("inf")
-        elif tag.isdigit():
-            rank = int(tag)
-        else:
+        if not os.path.isdir(p) or not (tag == "final" or tag.isdigit()):
             continue
+        rank = (os.path.getmtime(p),
+                float("inf") if tag == "final" else int(tag))
         if best is None or rank > best[0]:
             best = (rank, p)
     return None if best is None else best[1]
@@ -158,6 +156,7 @@ def main(argv=None) -> int:
     local_bs = args.batch_size // pcnt
 
     val_pairs = None
+    holdout = False
     if args.synth:
         pairs = None
         log(f"[train] on-device synthetic scenes, {pcnt} process(es), "
@@ -167,7 +166,25 @@ def main(argv=None) -> int:
                                      args.dataset)
         if not pairs:
             raise SystemExit("no (rgb, gt) pairs found")
-        if args.eval_every:
+        # The split must be STICKY across resumes: once a run held out
+        # pairs, a later --resume without --eval-every must not train on
+        # them (that would contaminate every later eval).  The sidecar
+        # records it.
+        import json as _json
+
+        holdout = bool(args.eval_every)
+        sidecar_f = os.path.join(args.ckpt_dir,
+                                 f"{args.model}.config.json")
+        if not holdout and os.path.exists(sidecar_f):
+            try:
+                with open(sidecar_f) as fp:
+                    holdout = bool(_json.load(fp).get("eval_holdout"))
+            except (OSError, ValueError):
+                pass
+            if holdout:
+                log("[train] maintaining the validation holdout recorded "
+                    "by the original run (sidecar eval_holdout)")
+        if holdout:
             # a REAL holdout: every 10th pair leaves the training set
             # (before host sharding, so the split is global and
             # identical on every process); the val list is padded by
@@ -284,7 +301,8 @@ def main(argv=None) -> int:
         import json
 
         arch = dict(model=args.model, width_scale=args.width_scale,
-                    view_size=args.view_size, pano_width=args.pano_width)
+                    view_size=args.view_size, pano_width=args.pano_width,
+                    eval_holdout=holdout)
         with open(os.path.join(args.ckpt_dir, f"{args.model}.config.json"),
                   "w") as fp:
             json.dump(arch, fp)
@@ -316,14 +334,17 @@ def main(argv=None) -> int:
             mout.flush()
 
     # held-out validation: a FIXED batch set from a seed stream disjoint
-    # from every training process's, loaded once and re-scored in place
+    # from every training process's, loaded once and re-scored in place.
+    # The seed ALSO diverges per process: each host contributes a
+    # distinct slice of the global eval batch (identical seeds would make
+    # the "global" batch pcnt copies of the same local rows).
     run_eval = None
     if args.eval_every:
         import itertools
 
         raw = list(itertools.islice(
-            make_batches(batch_kind, args.seed + 999_331, src=val_pairs,
-                         augment=False),
+            make_batches(batch_kind, args.seed + 999_331 + pidx * 7919,
+                         src=val_pairs, augment=False),
             args.eval_batches))
         if pcnt > 1:
             eval_data = [tuple(mh.global_batch(mesh, np.asarray(b))
@@ -357,11 +378,18 @@ def main(argv=None) -> int:
             return sum(float(fn(params, bt)) for bt in eval_data) / \
                 len(eval_data)
 
-    # Preemption grace: SIGTERM/SIGINT set a flag; the loop finishes the
-    # in-flight step, checkpoints (single-host only: orbax saves are
-    # collective under jax.distributed and the signal is not synchronized
-    # across hosts, so multi-host relies on the last --ckpt-every save),
-    # and exits 0 so a supervisor restart with --resume continues.
+    # Preemption grace.  SIGTERM/SIGINT set a local flag; the loop
+    # finishes the in-flight step and checkpoints before exiting 0 so a
+    # supervisor restart with --resume continues.  Single-host:
+    # checkpoint immediately.  Multi-host: signals are NOT synchronized
+    # across hosts and every further step and orbax save is a collective,
+    # so a process breaking out unilaterally would wedge its peers inside
+    # the next gradient psum.  Instead the signaled process announces a
+    # STOP STEP through the coordination KV store (first writer wins) and
+    # every process keeps stepping through it, then all checkpoint
+    # together.  The per-step scalar readback below bounds cross-host
+    # dispatch skew to one step, which makes ``caught_step + 2`` a safe
+    # stop step: every peer provably polls the key before passing it.
     import signal
 
     caught = {}
@@ -375,8 +403,16 @@ def main(argv=None) -> int:
     t0 = time.monotonic()
     exec_step = step_fn
     interrupted = False
+    stop_at = None
     for step, batch in enumerate(batches, start=start_step):
         if step >= args.steps:
+            break
+        if pcnt > 1 and stop_at is None:
+            v = mh.kv_try_get("panodepth/preempt-stop")
+            if v is not None:
+                stop_at = int(v)
+        if stop_at is not None and step > stop_at:
+            interrupted = True
             break
         if pcnt > 1:
             batch = tuple(mh.global_batch(mesh, b) for b in batch)
@@ -394,6 +430,12 @@ def main(argv=None) -> int:
             # skip the compile step + one warm step, then trace three
             jax.profiler.start_trace(args.trace)
         state, metrics = exec_step(state, batch)
+        if pcnt > 1:
+            # host-step sync: a host can only start step k+1 after every
+            # host's devices finished step k, so cross-host loop skew
+            # stays within one step (preemption-drain safety; a scalar
+            # readback is negligible against a real training step)
+            jax.block_until_ready(metrics["loss"])
         if args.trace and proc0 and step == start_step + 4:
             jax.block_until_ready(metrics["loss"])
             jax.profiler.stop_trace()
@@ -417,17 +459,19 @@ def main(argv=None) -> int:
                    if args.ema is not None else ""), flush=True)
             emit(rec)
         if caught:
-            interrupted = True
             if pcnt == 1:
+                interrupted = True
                 checkpoint(str(step))
                 log(f"[train] {caught['sig']}: checkpointed at step "
                     f"{step + 1}; restart with --resume to continue",
                     flush=True)
-            else:
-                log(f"[train] {caught['sig']}: exiting after step "
-                    f"{step + 1}; --resume continues from the last "
-                    f"--ckpt-every checkpoint", flush=True)
-            break
+                break
+            if stop_at is None:
+                mh.kv_set_once("panodepth/preempt-stop", str(step + 2))
+                # a racing announcement from another host may have won
+                stop_at = int(mh.kv_try_get("panodepth/preempt-stop"))
+                print(f"[train] p{pidx}: {caught['sig']}: draining to "
+                      f"collectively agreed step {stop_at}", flush=True)
         if step and step % args.ckpt_every == 0:
             checkpoint(str(step))
     for s, h in prev_handlers.items():
@@ -435,10 +479,22 @@ def main(argv=None) -> int:
     if args.trace and proc0:
         try:  # still running if the loop ended before the stop step
             jax.profiler.stop_trace()
+            log(f"[train] profiler trace written to {args.trace} "
+                "(short run: fewer steady-state steps than planned)")
         except RuntimeError:
-            pass
+            if args.steps - start_step <= 2:
+                log(f"[train] --trace wrote nothing: tracing starts at "
+                    f"step {start_step + 2} and this run ended before it "
+                    f"(needs at least 3 steps)")
     if not interrupted:
         checkpoint("final")
+    elif pcnt > 1:
+        # every process executed exactly through stop_at (see the drain
+        # protocol above): one collective full-state save, then exit 0
+        checkpoint(str(stop_at))
+        log(f"[train] preempted: collective checkpoint at step "
+            f"{stop_at + 1}; restart every process with --resume",
+            flush=True)
     if pcnt > 1:
         # non-zero processes exit instantly after the last step while
         # proc 0 is still serializing the checkpoint; without this they

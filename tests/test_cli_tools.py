@@ -286,6 +286,21 @@ def test_train_cli_file_mode_eval_holdout(tmp_path, capsys):
     assert "14 pairs/host" in out, out
     vals = [json.loads(l) for l in open(mfile) if "val_loss" in l]
     assert len(vals) == 2 and all(np.isfinite(v["val_loss"]) for v in vals)
+    # the split is recorded in the sidecar
+    arch = json.load(open(os.path.join(str(tmp_path / "ck"),
+                                       "panoramic.config.json")))
+    assert arch["eval_holdout"] is True
+
+    # STICKY split: a --resume WITHOUT --eval-every must keep the holdout
+    # pairs out of training (else later evals are contaminated)
+    rc = train_cli.main([
+        "panoramic", rgb_dir, gt_dir, str(tmp_path / "ck"), "--steps", "3",
+        "--batch-size", "8", "--pano-width", "64", "--width-scale", "0.25",
+        "--log-every", "1", "--platform", "cpu", "--resume"])
+    assert rc in (0, None)
+    out = capsys.readouterr().out
+    assert "maintaining the validation holdout" in out, out
+    assert "14 pairs/host" in out, out
 
 
 def test_train_cli_trace(tmp_path):
@@ -300,3 +315,23 @@ def test_train_cli_trace(tmp_path):
     assert rc in (0, None)
     files = [os.path.join(r, f) for r, _, fs in os.walk(tdir) for f in fs]
     assert files, "no trace files written"
+
+
+def test_latest_checkpoint_prefers_newest_save(tmp_path):
+    """--resume must pick the NEWEST save: ranking 'final' above numbered
+    tags would roll a preempted run-extension back to a stale final."""
+    from panodepth.train_cli import _latest_checkpoint
+
+    base = str(tmp_path / "m")
+    for tag, t in [("final", 1000), ("50", 2000), ("2", 1500)]:
+        os.makedirs(f"{base}_{tag}")
+        os.utime(f"{base}_{tag}", (t, t))
+    assert _latest_checkpoint(base).endswith("_50")
+    # mtime tie: final wins (within one run it is written last)
+    os.utime(f"{base}_final", (2000, 2000))
+    assert _latest_checkpoint(base).endswith("_final")
+    assert _latest_checkpoint(str(tmp_path / "none")) is None
+    # non-checkpoint dirs and files are ignored
+    os.makedirs(f"{base}_backup")
+    open(f"{base}_7", "w").close()
+    assert _latest_checkpoint(base).endswith("_final")

@@ -29,7 +29,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _spawn(argv, timeout=600):
+def _spawn(argv):
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     # children pick their own device count; don't inherit the 8-dev flag
@@ -141,3 +141,65 @@ def test_train_cli_multihost_smoke(tmp_path):
         str(ck / "perspective_final.params.npz"))
     out = model.apply(params, jnp.zeros((1, 64, 64, 3)))
     assert out.shape == (1, 64, 64)
+
+
+def test_preemption_drain_two_process(tmp_path):
+    """SIGTERM delivered to ONE process of a 2-process run: the stop step
+    is agreed through the coordination KV store, BOTH processes drain to
+    it, checkpoint collectively, and exit 0 (a unilateral break would
+    wedge the peer inside the next collective step)."""
+    import re
+    import signal
+    import time as _time
+
+    port = _free_port()
+    ck = tmp_path / "ck"
+
+    def argv(pid):
+        return ["-m", "panodepth.train_cli", "perspective", "x", "y",
+                str(ck), "--synth", "--steps", "500", "--batch-size", "4",
+                "--view-size", "64", "--width-scale", "0.125",
+                "--coordinator", f"127.0.0.1:{port}",
+                "--num-processes", "2", "--process-id", str(pid),
+                "--platform", "cpu", "--log-every", "1",
+                "--ckpt-every", "100000"]
+
+    logs = [str(tmp_path / f"p{i}.log") for i in (0, 1)]
+    fps = [open(f, "w") for f in logs]
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("XLA_FLAGS", None)
+    env.pop("JAX_PLATFORMS", None)
+    procs = [subprocess.Popen([sys.executable] + argv(i), env=env,
+                              cwd=REPO, stdout=fp,
+                              stderr=subprocess.STDOUT, text=True)
+             for i, fp in enumerate(fps)]
+    try:
+        deadline = _time.monotonic() + 900
+        while _time.monotonic() < deadline:
+            if "step 2 " in open(logs[0]).read():
+                break
+            for p in procs:
+                assert p.poll() is None, (
+                    f"worker died early:\n{open(logs[p is procs[1]]).read()[-3000:]}")
+            _time.sleep(2)
+        else:
+            raise AssertionError(
+                f"never reached step 2:\n{open(logs[0]).read()[-3000:]}")
+        procs[0].send_signal(signal.SIGTERM)  # ONE process only
+        rcs = [p.wait(timeout=300) for p in procs]
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait()
+        for fp in fps:
+            fp.close()
+    out0, out1 = (open(f).read() for f in logs)
+    assert rcs == [0, 0], (out0[-2000:], out1[-2000:])
+    m = re.search(r"draining to collectively agreed step (\d+)", out0)
+    assert m, out0[-3000:]
+    stop_at = int(m.group(1))
+    assert "collective checkpoint at step" in out0, out0[-2000:]
+    # the collective full-state save landed and is resumable
+    assert os.path.isdir(ck / f"perspective_{stop_at}")

@@ -333,3 +333,30 @@ def test_filter_files_shard():
         pio.filter_files(files, shard="3/3")
     with _pytest.raises(ValueError):
         pio.filter_files(files, shard="bogus")
+
+
+def test_run_batch_shard_manifest(scene_files):
+    """--shard runs write per-shard manifests (no last-writer clobber in
+    a shared result folder) and an out-of-range shard gets nothing."""
+    root = scene_files["root"]
+    cfg = scene_files["cfg"]
+    res = str(root / "result_shard") + os.sep
+    logs = []
+    pipeline.run_batch(
+        str(root / "rgb"), str(root / "gt"), str(root / "baseline"),
+        res, cfg, views_folder=str(root / "views"),
+        extract_rgb_views=False, pmap_ext=".png", log=logs.append,
+        shard="0/2",
+    )
+    assert os.path.exists(res + "pano_0001.png")
+    assert os.path.exists(res + "manifest.0-of-2.json")
+    assert not os.path.exists(res + "manifest.json")
+    logs2 = []
+    pipeline.run_batch(
+        str(root / "rgb"), str(root / "gt"), str(root / "baseline"),
+        res, cfg, views_folder=str(root / "views"),
+        extract_rgb_views=False, pmap_ext=".png", log=logs2.append,
+        shard="1/2",
+    )
+    assert any("0 RGB panoramas" in l for l in logs2)
+    assert os.path.exists(res + "manifest.1-of-2.json")
