@@ -41,20 +41,26 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 import numpy as np
 
 
+class Overloaded(RuntimeError):
+    """Queue full: the daemon sheds load instead of buffering unboundedly."""
+
+
 class _Pending:
-    __slots__ = ("arrays", "event", "result", "error")
+    __slots__ = ("arrays", "event", "result", "error", "abandoned")
 
     def __init__(self, arrays):
         self.arrays = arrays
         self.event = threading.Event()
         self.result = None
         self.error = None
+        self.abandoned = False  # caller timed out; don't compute for it
 
 
 class Batcher:
     """Coalesce single-item requests into fixed-size device launches."""
 
-    def __init__(self, artifact, max_delay_ms: float = 5.0):
+    def __init__(self, artifact, max_delay_ms: float = 5.0,
+                 max_queue: int = 0):
         import jax.numpy as jnp
 
         self._jnp = jnp
@@ -63,10 +69,14 @@ class Batcher:
         self.item_shapes = [tuple(s[1:]) for s in artifact.meta["in_shapes"]]
         self.item_dtypes = [np.dtype(d) for d in artifact.meta["in_dtypes"]]
         self.max_delay = max_delay_ms / 1000.0
-        self._q: queue.Queue = queue.Queue()
+        # backpressure: beyond a few batches of queued work, reject
+        # instead of buffering (latency there is already hopeless)
+        self._q: queue.Queue = queue.Queue(
+            maxsize=max_queue or 8 * self.batch)
         self._stop = threading.Event()
         self._lock = threading.Lock()
-        self.stats = dict(requests=0, batches=0, items=0, errors=0)
+        self.stats = dict(requests=0, batches=0, items=0, errors=0,
+                          timeouts=0, rejected=0, bad_requests=0)
         self._latencies: list = []  # seconds, per item, capped window
         self._thread = threading.Thread(target=self._run, daemon=True,
                                         name="panodepth-batch-runner")
@@ -86,14 +96,31 @@ class Batcher:
 
     def submit(self, arrays, timeout: float = 120.0):
         """Enqueue one item; block until its batch ran; return outputs."""
-        self.validate(arrays)
+        try:
+            self.validate(arrays)
+        except ValueError:
+            with self._lock:
+                self.stats["bad_requests"] += 1
+            raise
         p = _Pending(arrays)
         t0 = time.monotonic()
-        self._q.put(p)
-        if not p.event.wait(timeout):
-            raise TimeoutError("inference timed out")
         with self._lock:
             self.stats["requests"] += 1
+        try:
+            self._q.put_nowait(p)
+        except queue.Full:
+            with self._lock:
+                self.stats["rejected"] += 1
+            raise Overloaded(
+                f"queue full ({self._q.maxsize} items); retry later")
+        if not p.event.wait(timeout):
+            # the runner skips abandoned items: a timed-out request must
+            # not burn device batches computing results nobody reads
+            p.abandoned = True
+            with self._lock:
+                self.stats["timeouts"] += 1
+            raise TimeoutError("inference timed out")
+        with self._lock:
             self._latencies.append(time.monotonic() - t0)
             if len(self._latencies) > 10000:
                 del self._latencies[:5000]
@@ -118,6 +145,11 @@ class Batcher:
                     items.append(self._q.get(timeout=left))
                 except queue.Empty:
                     break
+            # drop items whose caller already timed out (an abandonment
+            # after this point only wastes that item's row, never a batch)
+            items = [it for it in items if not it.abandoned]
+            if not items:
+                continue
             try:
                 pad = self.batch - len(items)
                 stacked = [
@@ -137,6 +169,11 @@ class Batcher:
                     self.stats["batches"] += 1
                     self.stats["items"] += len(items)
             except Exception as e:  # noqa: BLE001 — fan the error out
+                # one server-side line per failed batch: operators must
+                # see device failures even though per-request HTTP
+                # logging is off
+                print(f"[daemon] batch of {len(items)} FAILED: "
+                      f"{type(e).__name__}: {e}", flush=True)
                 with self._lock:
                     self.stats["errors"] += len(items)
                 for it in items:
@@ -173,11 +210,25 @@ def _decode_image_rgb(body: bytes) -> np.ndarray:
 
 
 def _encode_png16(u16: np.ndarray) -> bytes:
+    import os
+
     from PIL import Image
 
     buf = _io.BytesIO()
-    Image.fromarray(np.ascontiguousarray(u16), mode="I;16").save(buf, "PNG")
+    # same throughput-default deflate level as io.save_png16 (level 1:
+    # ~3x faster encode than PIL's default 6 — host encode is the
+    # serving ceiling on small hosts), same env override
+    # no mode= kwarg: PIL auto-selects I;16 for uint16 (the explicit
+    # parameter is deprecated in Pillow >= 12)
+    Image.fromarray(np.ascontiguousarray(u16)).save(
+        buf, "PNG", compress_level=int(
+            os.environ.get("PANODEPTH_PNG_LEVEL", "1")))
     return buf.getvalue()
+
+
+# request bodies are one image / one item's arrays — cap them so a bogus
+# Content-Length cannot allocate unboundedly
+MAX_BODY_BYTES = 256 * 1024 * 1024
 
 
 def make_handler(batcher: Batcher, meta: dict):
@@ -220,6 +271,10 @@ def make_handler(batcher: Batcher, meta: dict):
                 return
             try:
                 n = int(self.headers.get("Content-Length", 0))
+                if n > MAX_BODY_BYTES:
+                    self._json(413, {"error": f"body {n} bytes exceeds "
+                                              f"{MAX_BODY_BYTES}"})
+                    return
                 body = self.rfile.read(n)
                 ctype = self.headers.get("Content-Type", "")
                 if ctype.startswith("image/"):
@@ -228,6 +283,8 @@ def make_handler(batcher: Batcher, meta: dict):
                     self._infer_npz(body)
             except (ValueError, KeyError) as e:
                 self._json(400, {"error": str(e)})
+            except Overloaded as e:
+                self._json(503, {"error": str(e)})
             except TimeoutError as e:
                 self._json(504, {"error": str(e)})
             except Exception as e:  # noqa: BLE001 — surface, don't crash
@@ -257,8 +314,9 @@ def make_handler(batcher: Batcher, meta: dict):
             outs = batcher.submit([rgb])
             depth = outs[0]
             if depth.dtype != np.uint16:
-                depth = (np.clip(depth.astype(np.float32), 0.0, 1.0)
-                         * 65535.0).astype(np.uint16)
+                from .io import to_uint16
+
+                depth = to_uint16(depth.astype(np.float32))
             self._bytes(200, _encode_png16(depth), "image/png")
 
     return Handler

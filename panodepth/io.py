@@ -144,7 +144,9 @@ def save_png16(filename: str, data: np.ndarray,
     if nativeio.available():
         nativeio.write_png16(filename, arr, level=level)
         return
-    img = Image.fromarray(arr, mode="I;16")
+    # no mode= kwarg: PIL auto-selects I;16 for uint16 (the explicit
+    # parameter is deprecated in Pillow >= 12)
+    img = Image.fromarray(arr)
     img.save(filename, compress_level=max(0, min(9, level)))
 
 

@@ -174,3 +174,154 @@ def test_unknown_route_404(daemon_art):
     with pytest.raises(urllib.error.HTTPError) as ei:
         urllib.request.urlopen(_url(d, "/nope"), timeout=30)
     assert ei.value.code == 404
+
+
+class _StubArtifact:
+    """Minimal artifact double for Batcher unit tests (no device)."""
+
+    meta = dict(in_shapes=[[2, 4]], in_dtypes=["float32"], kind="stub")
+
+    def __init__(self):
+        self.calls = 0
+
+    def __call__(self, x):
+        self.calls += 1
+        return (np.asarray(x) * 2.0,)
+
+
+def test_batcher_timeout_abandons_item():
+    """A timed-out request is skipped by the runner (no dead device work)
+    and counted in the timeout stats, not in errors/latencies."""
+    from panodepth.daemon import Batcher
+
+    art = _StubArtifact()
+    b = Batcher(art, max_delay_ms=1.0)  # not started yet
+    with pytest.raises(TimeoutError):
+        b.submit([np.zeros((4,), np.float32)], timeout=0.05)
+    assert b.stats["timeouts"] == 1 and b.stats["errors"] == 0
+    b.start()
+    out, = b.submit([np.ones((4,), np.float32)], timeout=30)
+    np.testing.assert_array_equal(out, np.full((4,), 2.0, np.float32))
+    # only the live item was computed; the abandoned one was dropped
+    assert b.stats["items"] == 1
+    b.stop()
+
+
+def test_batcher_backpressure_rejects():
+    """Beyond the queue bound, submits shed load with Overloaded (503)
+    instead of buffering unboundedly."""
+    from panodepth.daemon import Batcher, Overloaded
+
+    art = _StubArtifact()
+    b = Batcher(art, max_queue=2)  # runner never started: queue only fills
+    errs = []
+
+    def blocked():
+        try:
+            b.submit([np.zeros((4,), np.float32)], timeout=1.0)
+        except TimeoutError:
+            pass
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    ts = [threading.Thread(target=blocked) for _ in range(2)]
+    for t in ts:
+        t.start()
+    import time as _time
+
+    deadline = _time.monotonic() + 5
+    while b._q.qsize() < 2 and _time.monotonic() < deadline:
+        _time.sleep(0.01)
+    with pytest.raises(Overloaded):
+        b.submit([np.zeros((4,), np.float32)], timeout=1.0)
+    assert b.stats["rejected"] == 1
+    for t in ts:
+        t.join()
+    assert not errs
+    assert b.stats["bad_requests"] == 0
+    with pytest.raises(ValueError):
+        b.submit([np.zeros((3,), np.float32)])
+    assert b.stats["bad_requests"] == 1
+
+
+def test_body_size_cap_413(daemon_art, monkeypatch):
+    import panodepth.daemon as pdaemon
+
+    d, _, _ = daemon_art
+    monkeypatch.setattr(pdaemon, "MAX_BODY_BYTES", 1024)
+    req = urllib.request.Request(_url(d, "/infer"), data=b"x" * 2048)
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req, timeout=30)
+    assert ei.value.code == 413
+
+
+@pytest.fixture(scope="module")
+def e2e_daemon(tmp_path_factory):
+    """Daemon over a tiny e2e artifact (uint8 RGB in, u16 pano out)."""
+    import jax
+
+    from panodepth.models import train as ptrain
+    from panodepth.models.panoramic import PanoBaselineNet
+    from panodepth.models.perspective import PerspectiveDepthNet
+
+    tmp = tmp_path_factory.mktemp("e2eart")
+    s = 0.125
+    persp = PerspectiveDepthNet(
+        widths=tuple(max(8, int(w * s)) for w in (64, 128, 256, 512)),
+        decoder_width=max(16, int(128 * s)))
+    pparams = persp.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    ptrain.save_params_npz(str(tmp / "perspective_final.params.npz"),
+                           pparams)
+    with open(tmp / "perspective.config.json", "w") as fp:
+        json.dump(dict(model="perspective", width_scale=s, view_size=32,
+                       pano_width=128), fp)
+    pano = PanoBaselineNet(
+        widths=tuple(max(8, int(w * s)) for w in (32, 64, 128, 256)))
+    bparams = pano.init(jax.random.PRNGKey(1), jnp.zeros((1, 64, 128, 3)))
+    ptrain.save_params_npz(str(tmp / "panoramic_final.params.npz"), bparams)
+    with open(tmp / "panoramic.config.json", "w") as fp:
+        json.dump(dict(model="panoramic", width_scale=s, view_size=32,
+                       pano_width=128), fp)
+
+    cfg = MergeConfig(out_width=128, layout_name="3fold")
+    path = str(tmp / "e2e.xla")
+    serve.export_e2e(path, cfg, batch=2,
+                     persp_ckpt=str(tmp / "perspective_final.params.npz"),
+                     baseline_ckpt=str(tmp / "panoramic_final.params.npz"),
+                     rgb_shape=(64, 128), view_width=32)
+    art = serve.load(path)
+    d = Daemon(art, port=0, max_delay_ms=10.0)
+    t = threading.Thread(target=d.serve_forever, daemon=True)
+    t.start()
+    yield d
+    d.stop()
+
+
+def test_infer_image_happy_path(e2e_daemon):
+    """JPEG in -> 16-bit PNG depth panorama out, through the real HTTP
+    stack and the I;16 PIL encode."""
+    from PIL import Image
+
+    d = e2e_daemon
+    rng = np.random.RandomState(3)
+    rgb = (rng.rand(64, 128, 3) * 255).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(rgb).save(buf, "JPEG", quality=95)
+    req = urllib.request.Request(
+        _url(d, "/infer"), data=buf.getvalue(),
+        headers={"Content-Type": "image/jpeg"})
+    with urllib.request.urlopen(req, timeout=120) as r:
+        assert r.headers["Content-Type"] == "image/png"
+        png = r.read()
+    depth = np.asarray(Image.open(io.BytesIO(png)))
+    assert depth.dtype == np.uint16 or depth.dtype == np.int32
+    assert depth.shape == (64, 128)
+    # wrong-size image still 400s with the artifact's expectation
+    small = io.BytesIO()
+    Image.fromarray(rgb[:32]).save(small, "JPEG")
+    req = urllib.request.Request(
+        _url(d, "/infer"), data=small.getvalue(),
+        headers={"Content-Type": "image/jpeg"})
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req, timeout=60)
+    assert ei.value.code == 400
