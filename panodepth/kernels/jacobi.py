@@ -32,7 +32,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 # per-level iteration counts are 200/100/50 (Depth.cpp:1654-1675): K=10
 # iterations per banded pass divides all of them; the halo is 16 rows
-# (>= K, and 8-row aligned as Mosaic's VMEM tiling requires).
+# (>= K, and 8-row aligned as Mosaic's VMEM tiling requires).  Very wide
+# rows drop to (k=5, halo=8) and arbitrary iteration counts get a
+# remainder pass — see _band_config / _pallas_jacobi_impl.
 K_PER_PASS = 10
 HALO = 16
 # budget for the single-block path: 3 arrays resident + temporaries
@@ -58,8 +60,8 @@ def _single_block_kernel(iterations, step, reg, b_ref, t_ref, c_ref, o_ref):
     o_ref[:] = jax.lax.fori_loop(0, iterations, body, b_ref[:])
 
 
-def _banded_kernel(k, step, reg, band, b_ref, t_ref, c_ref, o_ref):
-    """One K-iteration pass over a (1, band + 2*HALO, W) slab block."""
+def _banded_kernel(k, step, reg, band, halo, b_ref, t_ref, c_ref, o_ref):
+    """One K-iteration pass over a (1, band + 2*halo, W) slab block."""
     tgt = t_ref[0]
     cov = c_ref[0]
 
@@ -67,11 +69,28 @@ def _banded_kernel(k, step, reg, band, b_ref, t_ref, c_ref, o_ref):
         return _step(B, tgt, cov, step, 1.0 - reg, reg)
 
     B = jax.lax.fori_loop(0, k, body, b_ref[0])
-    o_ref[0] = B[HALO : HALO + band, :]
+    o_ref[0] = B[halo : halo + band, :]
 
 
 def _vmem_bytes(h, w):
     return 3 * h * w * 4
+
+
+def _band_config(w):
+    """(k, halo, band) for the banded path at row width ``w``, or None
+    when even an 8-row band with the smallest halo exceeds the VMEM
+    budget (caller must fall back to the jnp path).  Selection metric:
+    slab rows processed per image row per iteration, (slab/band)/k."""
+    slab_budget_rows = (10 * 1024 * 1024) // (8 * w * 4)
+    best = None
+    for k, halo in ((K_PER_PASS, HALO), (5, 8)):
+        band = min(128, (slab_budget_rows - 2 * halo) // 8 * 8)
+        if band < 8:
+            continue
+        cost = (band + 2 * halo) / band / k
+        if best is None or cost < best[0]:
+            best = (cost, k, halo, band)
+    return None if best is None else best[1:]
 
 
 @functools.partial(jax.jit, static_argnames=("iterations", "step", "reg",
@@ -93,33 +112,45 @@ def _pallas_jacobi_impl(buf, target, covf, iterations, step, reg, interpret):
     # unlike ANY-space manual DMA); the kernel sees standard VMEM blocks.
     # The band adapts to the row width so the ~8 live slab temporaries of
     # the iteration body stay within the 16 MB VMEM scoped limit (with
-    # headroom) even under batch vmap.
-    slab_budget_rows = (10 * 1024 * 1024) // (8 * w * 4)
-    band = max(32, min(128, (slab_budget_rows - 2 * HALO) // 8 * 8))
+    # headroom) even under batch vmap.  (k, halo) adapt too: for very wide
+    # rows the 10/16 config leaves almost no band inside the budget, so
+    # 5/8 (2x the HBM passes, far less halo overhead) wins; and when even
+    # an 8-row band cannot fit, the HBM-roundtrip jnp path is the only
+    # correct option.  The selection metric is slab-rows processed per
+    # image row per iteration = (slab/band)/k.
+    cfg = _band_config(w)
+    if cfg is None:
+        from .. import fusion
+
+        return fusion.jacobi(buf, target, covf > 0, iterations, step, reg)
+    k, halo, band = cfg
     n_bands = pl.cdiv(h, band)
     pad_h = n_bands * band
-    k = K_PER_PASS
-    assert iterations % k == 0, (iterations, k)
-    slab = band + 2 * HALO
+    slab = band + 2 * halo
 
     def slabs(img):
-        p = jnp.pad(img, ((HALO, HALO + pad_h - h), (0, 0)))
+        p = jnp.pad(img, ((halo, halo + pad_h - h), (0, 0)))
         return jnp.stack([p[i * band : i * band + slab] for i in range(n_bands)])
 
-    kern = functools.partial(_banded_kernel, k, step, reg, band)
-    call = pl.pallas_call(
-        kern,
-        grid=(n_bands,),
-        out_shape=jax.ShapeDtypeStruct((n_bands, band, w), jnp.float32),
-        in_specs=[pl.BlockSpec((1, slab, w), lambda i: (i, 0, 0))] * 3,
-        out_specs=pl.BlockSpec((1, band, w), lambda i: (i, 0, 0)),
-        interpret=interpret,
-    )
+    def make_call(kk):
+        kern = functools.partial(_banded_kernel, kk, step, reg, band, halo)
+        return pl.pallas_call(
+            kern,
+            grid=(n_bands,),
+            out_shape=jax.ShapeDtypeStruct((n_bands, band, w), jnp.float32),
+            in_specs=[pl.BlockSpec((1, slab, w), lambda i: (i, 0, 0))] * 3,
+            out_specs=pl.BlockSpec((1, band, w), lambda i: (i, 0, 0)),
+            interpret=interpret,
+        )
 
     ts, cs = slabs(target), slabs(covf)
     b = buf
-    for _ in range(iterations // k):
+    passes, rem = divmod(iterations, k)
+    call = make_call(k)
+    for _ in range(passes):
         b = call(slabs(b), ts, cs).reshape(pad_h, w)[:h]
+    if rem:  # remainder pass (rem < k <= halo, so the halo still covers it)
+        b = make_call(rem)(slabs(b), ts, cs).reshape(pad_h, w)[:h]
     return b
 
 
