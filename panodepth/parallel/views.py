@@ -47,7 +47,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import MergeConfig
-from ..fusion import (TWO_PI, _view_gather_indices, build_fusion_plan,
+from ..fusion import (_view_gather_indices, build_fusion_plan,
                       init_level0, upsample2x)
 from ..ops.projection import extract_view, view_shape
 from ..ops.sampling import as01_post
@@ -87,13 +87,11 @@ def _registration_tables(cfg: MergeConfig, emap_shape: Tuple[int, int],
     axis can be sharded; padded views carry weight 0 everywhere (their fit
     degenerates to abcd = 0, which downstream masks ignore).
     """
+    from ..registration import grid_sample_indices
+
     g = build_sample_grids(cfg)
-    he, we = emap_shape
-    hp, wp = pmap_shape
-    exi = np.clip((g.azimuth / TWO_PI * (we - 1)).astype(np.int32), 0, we - 1)
-    eyi = np.clip((g.zenith / np.pi * (he - 1)).astype(np.int32), 0, he - 1)
-    pxi = np.clip((g.xy_x * (wp - 1)).astype(np.int32), 0, wp - 1)
-    pyi = np.clip((g.xy_y * (hp - 1)).astype(np.int32), 0, hp - 1)
+    # the ONE quantization rule, shared with register_views
+    exi, eyi, pxi, pyi = grid_sample_indices(g, emap_shape, pmap_shape)
     wgt = g.weight.astype(np.float32)
     return tuple(_pad_views(a, vp) for a in (exi, eyi, pxi, pyi, wgt))
 
@@ -185,7 +183,6 @@ def build_latency_e2e(persp_model, persp_params, cfg: MergeConfig,
     regt = _registration_tables(cfg, emap_shape, (h, w), vp)
     ltabs = tuple(_level_tables(cfg, l, (h, w), vp)
                   for l in range(len(plan.levels)))
-    inv_covs = tuple(lvl.inv_cov for lvl in plan.levels)  # np: trace consts
     on_tpu = jax.default_backend() == "tpu"
     with_baseline = base_model is None
 
@@ -194,9 +191,9 @@ def build_latency_e2e(persp_model, persp_params, cfg: MergeConfig,
                                     sample_equirect_bilinear_packed)
 
         if with_baseline:
-            baseline, fovs_l, (exi, eyi, pxi, pyi, wgt), lt = rest
+            baseline, fovs_l, (exi, eyi, pxi, pyi, wgt), lt, icovs = rest
         else:
-            fovs_l, (exi, eyi, pxi, pyi, wgt), lt = rest
+            fovs_l, (exi, eyi, pxi, pyi, wgt), lt, icovs = rest
 
         ex_mode = _resolve_extract_dtype(extract_dtype, rgb.dtype, on_tpu)
         rgb01 = _as01_img(rgb)
@@ -283,8 +280,10 @@ def build_latency_e2e(persp_model, persp_params, cfg: MergeConfig,
             tgt = jax.lax.psum_scatter(
                 canvas[: lvl.height, : lvl.width], axis,
                 scatter_dimension=1, tiled=True)
-            inv_l = jax.lax.dynamic_slice(jnp.asarray(inv_covs[l]),
-                                          (0, didx * wl), (lvl.height, wl))
+            # icovs arrives width-sharded (P(None, axis)): this device's
+            # (H_l, W_l/n) slice, no trace-baked full-res constants and no
+            # runtime dynamic_slice
+            inv_l = icovs[l]
             if debug:
                 dbg_tgts.append(tgt * inv_l)
             buf = jacobi_local(buf, tgt * inv_l,
@@ -299,7 +298,7 @@ def build_latency_e2e(persp_model, persp_params, cfg: MergeConfig,
     sharded = P(axis)
     repl = P()
     in_specs = (repl, repl, repl) + ((repl,) if with_baseline else ()) \
-        + (sharded, sharded, sharded)
+        + (sharded, sharded, sharded, P(None, axis))
     out_specs = (P(None, axis), sharded, repl)
     if debug:
         out_specs = (P(None, axis), sharded, repl, sharded, P(None, axis))
@@ -309,6 +308,7 @@ def build_latency_e2e(persp_model, persp_params, cfg: MergeConfig,
     fovs_j = jnp.asarray(fovs)
     regt_j = tuple(jnp.asarray(a) for a in regt)
     ltabs_j = tuple(tuple(jnp.asarray(a) for a in t) for t in ltabs)
+    icovs_j = tuple(jnp.asarray(lvl.inv_cov) for lvl in plan.levels)
     # commit params to the replicated sharding once (same rationale as
     # build_batched_e2e: jit does not cache argument resharding)
     repl_sh = NamedSharding(mesh, P())
@@ -319,11 +319,12 @@ def build_latency_e2e(persp_model, persp_params, cfg: MergeConfig,
     if with_baseline:
         def fn(rgb, baseline):
             out, abcd, *dbg = smapped(persp_params, base_params, rgb,
-                                      baseline, fovs_j, regt_j, ltabs_j)
+                                      baseline, fovs_j, regt_j, ltabs_j,
+                                      icovs_j)
             return (out, abcd[:nv], *dbg)
     else:
         def fn(rgb):
             out, abcd, *dbg = smapped(persp_params, base_params, rgb,
-                                      fovs_j, regt_j, ltabs_j)
+                                      fovs_j, regt_j, ltabs_j, icovs_j)
             return (out, abcd[:nv], *dbg)
     return jax.jit(fn)

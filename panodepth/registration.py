@@ -165,6 +165,28 @@ def fit_cubic(x, y, weight):
     ])
 
 
+def grid_sample_indices(g: "SampleGrids", emap_shape, pmap_shape,
+                        view=None):
+    """Quantize the f64 sample grids to i32 nearest indices.
+
+    THE single quantization rule (truncating cast after f64 scaling,
+    clipped to bounds — reference Value()/ValueAtCoord nearest semantics)
+    shared by :func:`register_views` and the view-parallel latency path
+    (:mod:`panodepth.parallel.views`): a parity fix here reaches both.
+    ``view`` selects one view's pmap grid (heterogeneous shapes);
+    ``None`` quantizes all views at once.
+    """
+    he, we = emap_shape
+    hp, wp = pmap_shape
+    xy_x = g.xy_x if view is None else g.xy_x[view]
+    xy_y = g.xy_y if view is None else g.xy_y[view]
+    exi = np.clip((g.azimuth / TWO_PI * (we - 1)).astype(np.int32), 0, we - 1)
+    eyi = np.clip((g.zenith / np.pi * (he - 1)).astype(np.int32), 0, he - 1)
+    pxi = np.clip((xy_x * (wp - 1)).astype(np.int32), 0, wp - 1)
+    pyi = np.clip((xy_y * (hp - 1)).astype(np.int32), 0, hp - 1)
+    return exi, eyi, pxi, pyi
+
+
 def register_views(emap, pmaps, cfg: MergeConfig):
     """Fit abcd for every view against the baseline emap.
 
@@ -186,22 +208,17 @@ def register_views(emap, pmaps, cfg: MergeConfig):
     emap2d = emap if emap.ndim == 2 else emap[..., 0]
     he, we = emap2d.shape
 
-    exi = np.clip((g.azimuth / TWO_PI * (we - 1)).astype(np.int32), 0, we - 1)
-    eyi = np.clip((g.zenith / np.pi * (he - 1)).astype(np.int32), 0, he - 1)
-
     if isinstance(pmaps, (list, tuple)):
         # heterogeneous per-view shapes (on-device e2e path)
         cols = []
         for v, pm in enumerate(pmaps):
-            hp, wp = pm.shape[-2:]
-            pxi = np.clip((g.xy_x[v] * (wp - 1)).astype(np.int32), 0, wp - 1)
-            pyi = np.clip((g.xy_y[v] * (hp - 1)).astype(np.int32), 0, hp - 1)
+            exi, eyi, pxi, pyi = grid_sample_indices(
+                g, (he, we), pm.shape[-2:], view=v)
             cols.append(as01_post(pm[pyi, pxi]))
         d0 = _clamp(jnp.stack(cols))
     else:
         nv, hp, wp = pmaps.shape
-        pxi = np.clip((g.xy_x * (wp - 1)).astype(np.int32), 0, wp - 1)
-        pyi = np.clip((g.xy_y * (hp - 1)).astype(np.int32), 0, hp - 1)
+        exi, eyi, pxi, pyi = grid_sample_indices(g, (he, we), (hp, wp))
         vidx = np.arange(nv, dtype=np.int32)[:, None, None]
         d0 = _clamp(as01_post(pmaps[vidx, pyi, pxi]))
     d1 = _clamp(as01_post(emap2d[eyi, exi]))
