@@ -69,15 +69,21 @@ def full_pipeline(rgb, persp_model: PerspectiveDepthNet, persp_params,
                   base_model: Optional[PanoBaselineNet] = None,
                   base_params=None, baseline=None,
                   cfg: MergeConfig = MergeConfig(), view_width: int = 512,
-                  jacobi_fn=None):
+                  jacobi_fn=None, base_w: int = 512):
     """RGB equirect (H, W, 3) -> (u16 (out_h, out_w), abcd, baseline, pmaps).
 
     Either a panoramic baseline model (+params) or a precomputed ``baseline``
     array must be given.  ``view_width`` controls the perspective inference
-    resolution (snapped to multiples of 32 for the CNN strides).
+    resolution (snapped to multiples of 32 for the CNN strides); the
+    baseline CNN runs at ``base_w`` (its training width), matching
+    :func:`build_batched_e2e`'s treatment.
     """
+    # integer panoramas arrive as raw 0..255/0..65535 — both CNNs were
+    # trained on 0~1 floats
+    rgb = _as01_img(rgb)
     if baseline is None:
-        baseline = base_model.apply(base_params, rgb[None])[0]
+        rb = jax.image.resize(rgb, (base_w // 2, base_w, 3), "bilinear")
+        baseline = base_model.apply(base_params, rb[None])[0]
 
     layout = cfg.layout
     views = extract_views(rgb, layout, width=view_width)
@@ -410,6 +416,12 @@ def run_batch_e2e(rgb_folder: str, gt_folder: str, result_folder: str,
         if batch_size != 1:
             log("[run_batch_e2e] --latency runs one panorama per launch; "
                 "ignoring --batch-size")
+        if jacobi not in ("auto", "pallas"):
+            log("[run_batch_e2e] --latency always relaxes with the "
+                "width-sharded Jacobi; ignoring --jacobi")
+        if profile:
+            log("[run_batch_e2e] --latency profiles whole-graph ms only "
+                "(the sharded stages fuse; no per-stage split)")
         lat_cache = {}
 
         def lat_fn_for(baseline_np):

@@ -82,14 +82,23 @@ class GroupNorm(nn.GroupNorm):
                 interpret=_FORCE_INTERPRET)
 
         # stock flax body (flax.linen.normalization.GroupNorm.__call__,
-        # constrained to the num_groups + trailing-feature-axis case),
-        # via flax's own helpers so numerics match nn.GroupNorm exactly
-        assert isinstance(self.num_groups, int) and self.group_size is None
+        # constrained to the trailing-feature-axis case), via flax's own
+        # helpers so numerics match nn.GroupNorm exactly
+        num_groups = self.num_groups
+        if num_groups is None:
+            # stock GroupNorm's group_size form (mutually exclusive)
+            if self.group_size is None or x.shape[-1] % self.group_size:
+                raise ValueError(
+                    f"group_size {self.group_size} must divide the feature "
+                    f"count {x.shape[-1]} (and exactly one of num_groups / "
+                    "group_size must be set)")
+            num_groups = x.shape[-1] // self.group_size
+        elif self.group_size is not None:
+            raise ValueError("pass num_groups or group_size, not both")
         reduction_axes = (list(range(1, x.ndim - 1)) + [-1]
                           if self.reduction_axes is None
                           else self.reduction_axes)
         reduction_axes = fnorm._canonicalize_axes(x.ndim, reduction_axes)
-        num_groups = self.num_groups
         group_size = x.shape[-1] // num_groups
         group_shape = x.shape[:-1] + (num_groups, group_size)
         gmask = (None if mask is None

@@ -593,14 +593,13 @@ def synth_batches(batch_size: int, kind: str = "perspective",
     use_v2 = version not in (1, "1", "v1")  # static: skip v2 math for v1
 
     if kind == "perspective":
-        @jax.jit
         def render(scenes, fovs):
             rgb, dep = jax.vmap(
                 lambda s, f: render_view(s, f, view_size, view_size, use_v2)
             )(scenes, fovs)
             return rgb, dep, jnp.ones_like(dep, bool)
 
-        render = jax.jit(render, **kw) if kw else render
+        render = jax.jit(render, **kw)
 
         def host_params():
             scenes = stack_scenes([sample_scene(rng, version)

@@ -38,11 +38,25 @@ def test_full_pipeline_runs():
 
     out, abcd, baseline, pmaps = jax.jit(
         lambda r: full_pipeline(r, persp, pp, base, bp, cfg=tiny_cfg,
-                                view_width=64)
+                                view_width=64, base_w=64)
     )(rgb)
     assert out.shape == (tiny_cfg.out_height, tiny_cfg.out_width)
     assert out.dtype == jnp.uint16
     assert baseline.shape == (32, 64)
+
+    # uint8 input is normalized to the same 0~1 floats the CNNs trained
+    # on (it silently flowed through raw 0..255 before)
+    rgb_u8 = (np.asarray(rgb) * 255).astype(np.uint8)
+    out_u8, _, _, _ = jax.jit(
+        lambda r: full_pipeline(r, persp, pp, base, bp, cfg=tiny_cfg,
+                                view_width=64, base_w=64)
+    )(jnp.asarray(rgb_u8))
+    out_f, _, _, _ = jax.jit(
+        lambda r: full_pipeline(r, persp, pp, base, bp, cfg=tiny_cfg,
+                                view_width=64, base_w=64)
+    )(jnp.asarray(rgb_u8.astype(np.float32) / 255.0))
+    d = np.abs(out_u8.astype(np.int32) - out_f.astype(np.int32))
+    assert d.max() <= 2, d.max()  # 1-ulp division noise through fusion
     assert np.isfinite(np.asarray(abcd)).all()
     assert len(pmaps) == tiny_cfg.layout.num_views  # per-view list
 

@@ -147,3 +147,23 @@ def test_module_fuse_relu_fallback_path():
     np.testing.assert_array_equal(
         np.asarray(fused.apply(p, x)),
         np.asarray(nn.relu(ref.apply(p, x))))
+
+
+def test_module_group_size_config_matches_flax():
+    """The stock group_size form (num_groups=None) must normalize like
+    nn.GroupNorm instead of dying on the fallback assert."""
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(2, 8, 8, 16).astype(np.float32))
+    ours = pnorm.GroupNorm(num_groups=None, group_size=4)
+    ref = nn.GroupNorm(num_groups=None, group_size=4)
+    p1 = ours.init(jax.random.PRNGKey(0), x)
+    p2 = ref.init(jax.random.PRNGKey(0), x)
+    np.testing.assert_allclose(np.asarray(ours.apply(p1, x)),
+                               np.asarray(ref.apply(p2, x)),
+                               rtol=1e-6, atol=1e-6)
+    with pytest.raises(ValueError):
+        pnorm.GroupNorm(num_groups=4, group_size=4).init(
+            jax.random.PRNGKey(0), x)
+    with pytest.raises(ValueError):
+        pnorm.GroupNorm(num_groups=None, group_size=5).init(
+            jax.random.PRNGKey(0), x)
