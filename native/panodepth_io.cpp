@@ -164,36 +164,58 @@ int pdio_write_png16(const char* path, const uint16_t* data, int width,
 // pdio_png_info + pdio_png_read.
 int pdio_png_info(const char* path, int* width, int* height, int* channels,
                   int* bitdepth) {
-  std::vector<uint8_t> f;
-  if (!read_file(path, f) || f.size() < 33) return -1;
+  // header-only read: every decode calls info + read, and slurping the
+  // whole file here doubled the disk traffic of the hot host-decode path
+  uint8_t f[33];
+  FILE* fp = fopen(path, "rb");
+  if (!fp) return -1;
+  size_t n = fread(f, 1, sizeof(f), fp);
+  fclose(fp);
+  if (n < sizeof(f)) return -1;
   static const uint8_t sig[8] = {137, 80, 78, 71, 13, 10, 26, 10};
-  if (memcmp(f.data(), sig, 8) != 0) return -1;
-  if (memcmp(f.data() + 12, "IHDR", 4) != 0) return -1;
-  *width = static_cast<int>(rd32(f.data() + 16));
-  *height = static_cast<int>(rd32(f.data() + 20));
+  if (memcmp(f, sig, 8) != 0) return -1;
+  if (memcmp(f + 12, "IHDR", 4) != 0) return -1;
+  *width = static_cast<int>(rd32(f + 16));
+  *height = static_cast<int>(rd32(f + 20));
   *bitdepth = f[24];
   int color = f[25];
   int ch = color == 0 ? 1 : color == 2 ? 3 : color == 4 ? 2 :
            color == 6 ? 4 : -1;
   if (ch < 0 || f[28] != 0 /*interlace*/) return -2;
+  // a corrupt IHDR must not drive callers into multi-GB allocations
+  if (*width <= 0 || *height <= 0 ||
+      static_cast<int64_t>(*width) * *height * ch > (int64_t(1) << 31))
+    return -2;
   *channels = ch;
   return 0;
 }
 
 int pdio_png_read_f32(const char* path, float* out, int out_size) {
   std::vector<uint8_t> f;
-  if (!read_file(path, f)) return -1;
+  if (!read_file(path, f) || f.size() < 33) return -1;
+  // same validated header parse as pdio_png_info: this is its own public
+  // C ABI entry point, so it must not trust a prior info() call (file may
+  // have changed) or skip the signature/color-type checks
+  static const uint8_t sig[8] = {137, 80, 78, 71, 13, 10, 26, 10};
+  if (memcmp(f.data(), sig, 8) != 0) return -1;
+  if (memcmp(f.data() + 12, "IHDR", 4) != 0) return -1;
   int w = static_cast<int>(rd32(f.data() + 16));
   int h = static_cast<int>(rd32(f.data() + 20));
   int depth = f[24], color = f[25];
-  int ch = color == 0 ? 1 : color == 2 ? 3 : color == 4 ? 2 : 4;
-  if (f[28] != 0) return -2;
+  int ch = color == 0 ? 1 : color == 2 ? 3 : color == 4 ? 2 :
+           color == 6 ? 4 : -1;
+  if (ch < 0 || f[28] != 0) return -2;
+  if (w <= 0 || h <= 0 ||
+      static_cast<int64_t>(w) * h * ch > (int64_t(1) << 31)) return -2;
   if (out_size < w * h * ch) return -3;
 
   std::vector<uint8_t> idat;
   size_t pos = 8;
   while (pos + 8 <= f.size()) {
     uint32_t len = rd32(f.data() + pos);
+    // a corrupt/truncated length must not walk the insert past the
+    // file's heap buffer
+    if (len > f.size() || pos + 8 + len > f.size()) return -1;
     const char* type = reinterpret_cast<const char*>(f.data() + pos + 4);
     if (memcmp(type, "IDAT", 4) == 0)
       idat.insert(idat.end(), f.data() + pos + 8, f.data() + pos + 8 + len);
@@ -259,8 +281,12 @@ int pdio_pfm_read_f32(const char* path, float* out, int out_size) {
   char tag[8] = {0};
   int w = 0, h = 0;
   float endian = 0;
+  // NOTE: no "\n" directive after %f — a trailing whitespace directive
+  // consumes EVERY following whitespace-class byte, including the first
+  // bytes of the binary payload when they happen to be 0x09-0x0D/0x20
+  // (~2% of real files).  Consume exactly ONE header terminator instead.
   if (fscanf(fp, "%2s\n", tag) != 1 || fscanf(fp, "%d %d\n", &w, &h) != 2 ||
-      fscanf(fp, "%f\n", &endian) != 1) {
+      fscanf(fp, "%f", &endian) != 1 || fgetc(fp) == EOF) {
     fclose(fp);
     return -2;
   }
@@ -310,20 +336,27 @@ struct Prefetcher {
       const std::string& p = it.path;
       bool is_pfm = p.size() > 4 && p.compare(p.size() - 4, 4, ".pfm") == 0;
       int st;
-      if (is_pfm) {
-        st = pdio_pfm_info(p.c_str(), &w, &h, &c);
-        if (st == 0) {
-          it.data.resize(static_cast<size_t>(w) * h * c);
-          st = pdio_pfm_read_f32(p.c_str(), it.data.data(),
-                                 static_cast<int>(it.data.size()));
+      try {
+        if (is_pfm) {
+          st = pdio_pfm_info(p.c_str(), &w, &h, &c);
+          if (st == 0) {
+            it.data.resize(static_cast<size_t>(w) * h * c);
+            st = pdio_pfm_read_f32(p.c_str(), it.data.data(),
+                                   static_cast<int>(it.data.size()));
+          }
+        } else {
+          st = pdio_png_info(p.c_str(), &w, &h, &c, &d);
+          if (st == 0) {
+            it.data.resize(static_cast<size_t>(w) * h * c);
+            st = pdio_png_read_f32(p.c_str(), it.data.data(),
+                                   static_cast<int>(it.data.size()));
+          }
         }
-      } else {
-        st = pdio_png_info(p.c_str(), &w, &h, &c, &d);
-        if (st == 0) {
-          it.data.resize(static_cast<size_t>(w) * h * c);
-          st = pdio_png_read_f32(p.c_str(), it.data.data(),
-                                 static_cast<int>(it.data.size()));
-        }
+      } catch (const std::exception&) {
+        // e.g. bad_alloc: an exception escaping a worker thread would
+        // std::terminate the whole process — report a failed item instead
+        w = h = c = 0;
+        st = -7;
       }
       it.width = w; it.height = h; it.channels = c; it.status = st;
       {
@@ -359,12 +392,15 @@ int pdio_prefetch_info(void* handle, int index, int* width, int* height,
 
 int pdio_prefetch_take(void* handle, int index, float* out, int out_size) {
   Prefetcher* pf = static_cast<Prefetcher*>(handle);
+  if (index < 0 || index >= static_cast<int>(pf->items.size())) return -1;
   PrefetchItem& it = pf->items[index];
   if (it.status != 0) return it.status;
   if (out_size < static_cast<int>(it.data.size())) return -3;
   memcpy(out, it.data.data(), it.data.size() * 4);
   it.data.clear();
   it.data.shrink_to_fit();
+  it.status = -6;  // consumed: a second take must NOT report success on
+                   // an empty buffer (the caller would get uninit memory)
   return 0;
 }
 

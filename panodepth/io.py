@@ -45,7 +45,13 @@ def load_image01(filename: str, mono360: bool = False) -> np.ndarray:
     if filename.lower().endswith(".pfm"):
         return load_pfm01(filename, flip_vertical=mono360, normalize=mono360)
     if filename.lower().endswith(".png") and nativeio.available():
-        return nativeio.read_image_f32(filename)
+        try:
+            return nativeio.read_image_f32(filename)
+        except IOError:
+            # PNG variants the native codec rejects (palette, interlaced,
+            # bit depth < 8): PIL decoded them before the library existed
+            # and still does
+            pass
     img = Image.open(filename)
     arr = np.asarray(img)
     if arr.dtype == np.uint8:

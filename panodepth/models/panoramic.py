@@ -104,9 +104,10 @@ class PanoBaselineNet(nn.Module):
                           dtype=self.norm_dtype, fuse_relu=True)(y)
             y = y + skip
         bb, hh, ww, cc = y.shape
+        # the x2 from the h/2 skip level lands exactly at (h, w) for every
+        # stride-even input (the module contract) — no trailing resize
         y = jax.image.resize(y, (bb, hh * 2, ww * 2, cc), "bilinear")
         y = nn.Conv(32, (3, 3), dtype=self.dtype)(y)
         y = nn.relu(y)
-        y = jax.image.resize(y, (bb, h, w, 32), "bilinear")
         y = nn.Conv(1, (1, 1), dtype=jnp.float32)(y)
         return nn.sigmoid(y[..., 0])

@@ -61,6 +61,16 @@ def available() -> bool:
     return bool(_load())
 
 
+def _ncpu() -> int:
+    """CPUs actually usable by this process: cgroup/affinity-aware
+    (os.cpu_count reports the physical host and over-engages the
+    prefetcher inside quota-limited containers)."""
+    try:
+        return len(os.sched_getaffinity(0)) or 1
+    except AttributeError:  # pragma: no cover - non-linux
+        return os.cpu_count() or 1
+
+
 def batch_prefetch_wins() -> bool:
     """Whether :class:`BatchPrefetcher` beats serial in-thread decode.
 
@@ -72,7 +82,7 @@ def batch_prefetch_wins() -> bool:
     fall back to the serial native path (overlap with device compute
     comes from their own lookahead thread either way).
     """
-    return available() and (os.cpu_count() or 1) > 1
+    return available() and _ncpu() > 1
 
 
 def write_png16(path: str, data: np.ndarray, level: int = 1) -> None:
@@ -84,11 +94,14 @@ def write_png16(path: str, data: np.ndarray, level: int = 1) -> None:
     result-writing path is host-side and throughput-bound.
     """
     lib = _load()
+    if not lib:
+        raise RuntimeError("native IO library not built (make -C native)")
     arr = np.ascontiguousarray(data, np.uint16)
     h, w = arr.shape
+    # same 0-9 clamp as the PIL fallback: one env var, one behavior
     rc = lib.pdio_write_png16(
         path.encode(), arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
-        w, h, level)
+        w, h, max(0, min(9, int(level))))
     if rc != 0:
         raise IOError(f"pdio_write_png16({path}) failed: {rc}")
 
@@ -96,6 +109,8 @@ def write_png16(path: str, data: np.ndarray, level: int = 1) -> None:
 def read_image_f32(path: str) -> np.ndarray:
     """PNG (8/16-bit, any color type) or PFM -> float32 array 0~1 / raw."""
     lib = _load()
+    if not lib:
+        raise RuntimeError("native IO library not built (make -C native)")
     w, h, c, d = (ctypes.c_int() for _ in range(4))
     if path.lower().endswith(".pfm"):
         rc = lib.pdio_pfm_info(path.encode(), w, h, c)
@@ -134,7 +149,7 @@ class BatchPrefetcher:
         # threads churning 16 MB working sets through one cache); the
         # prefetcher's job on small hosts is overlap with device compute,
         # which one worker already provides
-        threads = max(1, min(threads, os.cpu_count() or 1))
+        threads = max(1, min(threads, _ncpu()))
         self._handle = lib.pdio_prefetch_start(arr, self._n, threads)
 
     def get(self, index: int) -> Optional[np.ndarray]:
