@@ -154,6 +154,22 @@ def load_model_checkpoint(ckpt_path: str, norm_dtype=None):
             horizon_dim=max(32, int(256 * s)), **kw)
         pw = arch.get("pano_width", 512)
         sample = jnp.zeros((1, pw // 2, pw, 3))
+    elif kind == "bifuse":
+        from .models.bifuse import BiFuseNet
+
+        model = BiFuseNet(
+            widths=tuple(max(8, int(w * s)) for w in (32, 64, 128, 256)),
+            **kw)
+        pw = arch.get("pano_width", 512)
+        sample = jnp.zeros((1, pw // 2, pw, 3))
+    elif kind == "slicenet":
+        from .models.slicenet import SliceNet
+
+        model = SliceNet(
+            widths=tuple(max(8, int(w * s)) for w in (32, 64, 128, 256)),
+            slice_dim=max(32, int(256 * s)), **kw)
+        pw = arch.get("pano_width", 512)
+        sample = jnp.zeros((1, pw // 2, pw, 3))
     else:
         model = PanoBaselineNet(
             widths=tuple(max(8, int(w * s)) for w in (32, 64, 128, 256)),

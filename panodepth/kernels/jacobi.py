@@ -158,6 +158,14 @@ def pallas_jacobi(buf, target, covered, iterations, step, reg,
                   interpret=None):
     """Drop-in replacement for :func:`panodepth.fusion.jacobi`.
 
+    PRECONDITION: every ``covered`` pixel must sit >= HALO rows inside the
+    image's top/bottom edge.  Inside that contract the output is bit-equal
+    to the jnp path; at the edge the jnp path's vertical roll and this
+    kernel's zero halo diverge.  Production coverage always satisfies it:
+    the zenith-band clamp (reference Depth.cpp:1558-1562, band
+    [26deg, 154deg]) keeps covered rows >= h*26/180 from the edge at every
+    pyramid level the banded path handles.
+
     On non-TPU backends this falls back to the jnp implementation unless
     ``interpret=True`` is forced (used by the kernel unit tests).
     """

