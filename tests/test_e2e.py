@@ -255,3 +255,36 @@ def test_filter_files_shared_semantics():
     assert filter_files(files, include=["_a"], exclude=["2"]) == [files[0]]
     assert filter_files(files, limit=3) == files[:3]
     assert filter_files(files, include=["_b"], limit=1) == [files[2]]
+
+
+def test_load_model_checkpoint_new_families(tmp_path):
+    """The arch-sidecar loader rebuilds bifuse/slicenet checkpoints with
+    the same widths train_cli derived from width_scale (e2e.py:157-172),
+    so `--baseline-ckpt` accepts all five zoo families."""
+    import json
+
+    from panodepth.e2e import load_model_checkpoint
+    from panodepth.models import train as ptrain
+    from panodepth.models.bifuse import BiFuseNet
+    from panodepth.models.slicenet import SliceNet
+
+    s = 0.25
+    widths = tuple(max(8, int(w * s)) for w in (32, 64, 128, 256))
+    fams = {
+        "bifuse": BiFuseNet(widths=widths),
+        "slicenet": SliceNet(widths=widths, slice_dim=max(32, int(256 * s))),
+    }
+    for name, model in fams.items():
+        params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 64, 3)))
+        ptrain.save_params_npz(str(tmp_path / f"{name}_final.params.npz"),
+                               params)
+        with open(tmp_path / f"{name}.config.json", "w") as fp:
+            json.dump({"model": name, "width_scale": s, "view_size": 256,
+                       "pano_width": 64}, fp)
+        model2, params2, arch = load_model_checkpoint(
+            str(tmp_path / f"{name}_final.params.npz"))
+        assert arch["model"] == name
+        for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(params2)):
+            assert a.shape == b.shape
+        out = jax.jit(model2.apply)(params2, jnp.zeros((1, 32, 64, 3)))
+        assert out.shape == (1, 32, 64)
