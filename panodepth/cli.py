@@ -88,10 +88,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "their native width (u8/u16) and normalize there; "
                         "auto = TPU only (1 f32 ulp caveat, see merge_many)")
     p.add_argument("--extract-dtype", default="auto",
-                   choices=["auto", "packed", "bf16", "f32"],
+                   choices=["auto", "packed", "packed16", "bf16", "f32"],
                    help="on-device mode view-extraction gather table: "
-                        "packed u32 (fastest, exact for 8-bit sources but "
-                        "quantizes wider ones), bf16, or f32; auto = packed "
+                        "packed u32 (fastest exact mode for 8-bit sources, "
+                        "quantizes wider ones), packed16 (RGB565 — half the "
+                        "gathered bytes again, 5/6/5-bit quantized input), "
+                        "bf16, or f32; auto = packed "
                         "on TPU for streamed uint8 inputs, f32 otherwise")
     p.add_argument("--infer-norm", default="auto",
                    choices=["auto", "f32", "bf16"],

@@ -217,13 +217,17 @@ def build_batched_e2e(persp_model, persp_params, cfg: MergeConfig,
     e2e graph scales data-parallel with zero collectives on the forward
     path.  B must then be divisible by the dp size.
 
-    ``extract_dtype`` — "auto"/"packed"/"bf16"/"f32": representation of
+    ``extract_dtype`` — "auto"/"packed"/"packed16"/"bf16"/"f32":
+    representation of
     the RGB fed to the view-extraction gathers, which are HBM-bandwidth-
     bound.  "packed" gathers one u32 per bilinear tap from a
     :func:`..ops.sampling.pack_rgb_u32` table — a quarter of the f32
     bytes and one gather instead of a 3-channel one (12.1 -> 4.7 ms/pano
     measured on the v5e), *exact* for 8-bit sources but quantizing for
-    anything wider; "bf16" halves the bytes instead (~8-bit mantissa,
+    anything wider; "packed16" goes further — an RGB565 u16 table, half
+    the gathered bytes again, but quantizes the CNN's RGB input to 5/6/5
+    bits per channel (opt-in: accuracy must be A/B'd per model); "bf16"
+    halves the bytes instead (~8-bit mantissa,
     6.4 ms/pano).  The baseline-CNN resize runs in bf16 under either
     (both CNNs cast to bf16 internally anyway).  "auto" = packed on TPU
     when the traced RGB input is uint8 (streamed 8-bit sources, where
@@ -269,6 +273,13 @@ def build_batched_e2e(persp_model, persp_params, cfg: MergeConfig,
             src = jax.vmap(pack_rgb_u32)(
                 rgbs if rgbs.dtype == jnp.uint8 else rgbs01)
             sampler = sample_equirect_bilinear_packed
+        elif ex_mode == "packed16":
+            from .ops.sampling import (pack_rgb565_u16,
+                                       sample_equirect_bilinear_packed565)
+
+            src = jax.vmap(pack_rgb565_u16)(
+                rgbs if rgbs.dtype == jnp.uint8 else rgbs01)
+            sampler = sample_equirect_bilinear_packed565
         elif ex_mode == "bf16":
             src = rgbs01.astype(jnp.bfloat16)
         else:

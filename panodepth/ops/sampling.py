@@ -174,3 +174,42 @@ def sample_equirect_bilinear_packed(packed, azimuth, zenith):
     top = tap(y0, x0) * (1 - wx) + tap(y0, x1) * wx
     bot = tap(y1, x0) * (1 - wx) + tap(y1, x1) * wx
     return (top * (1 - wy) + bot * wy) * (1.0 / 255.0)
+
+
+def pack_rgb565_u16(rgb):
+    """(H, W, 3) RGB (uint8, or f32 0~1) -> (H, W) uint16 in RGB565.
+
+    Half the gathered bytes of :func:`pack_rgb_u32` (TPU gather cost
+    scales with gathered element width — see PERF.md), at the cost of
+    quantizing the CNN's RGB input to 5/6/5 bits per channel
+    (round-to-nearest; max channel error 1/62 ~ 4 u8 LSBs).  Opt-in via
+    ``--extract-dtype packed16`` — accuracy must be A/B'd per model.
+    """
+    if rgb.dtype == jnp.uint8:
+        rgb = rgb.astype(jnp.float32) * (1.0 / 255.0)
+    rgb = jnp.clip(rgb.astype(jnp.float32), 0.0, 1.0)
+    r = jnp.round(rgb[..., 0] * 31.0).astype(jnp.uint16)
+    g = jnp.round(rgb[..., 1] * 63.0).astype(jnp.uint16)
+    b = jnp.round(rgb[..., 2] * 31.0).astype(jnp.uint16)
+    return (r << 11) | (g << 5) | b
+
+
+def sample_equirect_bilinear_packed565(packed, azimuth, zenith):
+    """Bilinear equirect RGB sampling from a :func:`pack_rgb565_u16` table.
+
+    Same tap conventions as :func:`sample_equirect_bilinear`; returns
+    (..., 3) f32 in 0~1 (each channel decoded to its quantized 0~1 value,
+    interpolated in f32).
+    """
+    h, w = packed.shape
+    x0, x1, y0, y1, wx, wy = _bilinear_coords(h, w, azimuth, zenith)
+
+    def tap(yy, xx):
+        v = packed[yy, xx].astype(jnp.int32)
+        return jnp.stack([((v >> 11) & 0x1F) * (1.0 / 31.0),
+                          ((v >> 5) & 0x3F) * (1.0 / 63.0),
+                          (v & 0x1F) * (1.0 / 31.0)], -1).astype(jnp.float32)
+
+    top = tap(y0, x0) * (1 - wx) + tap(y0, x1) * wx
+    bot = tap(y1, x0) * (1 - wx) + tap(y1, x1) * wx
+    return top * (1 - wy) + bot * wy

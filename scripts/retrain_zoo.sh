@@ -1,12 +1,13 @@
 #!/bin/bash
 # Reproduce the shipping model zoo from scratch (no external data).
 #
-# Trains all three families on the on-device procedural scene engine
+# Trains all five families on the on-device procedural scene engine
 # (`panodepth.synth`, `mix` distribution — the recipe in zoo/README.md),
 # evaluates each on both held-out scene distributions, and stages the
 # params-only checkpoints + sidecars under OUT (default: ./zoo_retrained).
 #
-# On a v5e this is ~2.5 h total; runs anywhere JAX runs (CPU works, slow).
+# On a v5e this is ~6 h total (BiFuse's dual branches dominate); runs
+# anywhere JAX runs (CPU works, slow).
 #
 #   scripts/retrain_zoo.sh [OUT_DIR]
 
@@ -25,8 +26,13 @@ python -m panodepth.train_cli panoramic x x "$CK/pano" --synth \
     --synth-version mix --steps 14000 --batch-size 16 --lr 3e-4 --pano-width 512
 python -m panodepth.train_cli hohonet x x "$CK/hoho" --synth \
     --synth-version mix --steps 14000 --batch-size 16 --lr 3e-4 --pano-width 512
+python -m panodepth.train_cli bifuse x x "$CK/bifuse" --synth \
+    --synth-version mix --steps 14000 --batch-size 16 --lr 3e-4 --pano-width 512
+python -m panodepth.train_cli slicenet x x "$CK/slicenet" --synth \
+    --synth-version mix --steps 14000 --batch-size 16 --lr 3e-4 --pano-width 512
 
-for fam in persp:perspective pano:panoramic hoho:hohonet; do
+for fam in persp:perspective pano:panoramic hoho:hohonet \
+           bifuse:bifuse slicenet:slicenet; do
   dir="${fam%%:*}"; name="${fam##*:}"
   cp "$CK/$dir/${name}_final.params.npz" "$OUT/"
   cp "$CK/$dir/${name}.config.json" "$OUT/"

@@ -239,6 +239,49 @@ def bench_e2e_groupnorm_ab() -> None:
           flush=True)
 
 
+def bench_e2e_variants() -> None:
+    """Full batched e2e graph (zoo weights): the candidate default flips.
+
+    A/Bs the packed-u32 baseline against (a) PANODEPTH_P99=approx (the
+    approx_max_k percentile normalize) and (b) extract_dtype='packed16'
+    (RGB565 tables, half the gathered bytes) with approx.  Timing only —
+    the accuracy side runs through the held-out CLI proof.
+    """
+    zoo = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "zoo")
+    persp = os.path.join(zoo, "perspective_final.params.npz")
+    base = os.path.join(zoo, "panoramic_final.params.npz")
+    if not (os.path.exists(persp) and os.path.exists(base)):
+        print(json.dumps({"bench": "e2e_variants",
+                          "note": "zoo missing, skipped"}), flush=True)
+        return
+    from panodepth.config import MergeConfig
+    from panodepth.e2e import build_batched_e2e, load_model_checkpoint
+
+    cfg = MergeConfig(out_width=2048)
+    nd = jnp.bfloat16 if jax.default_backend() == "tpu" else None
+    pm, pp, pa = load_model_checkpoint(persp, norm_dtype=nd)
+    bm, bp, ba = load_model_checkpoint(base, norm_dtype=nd)
+    rgbs = jnp.asarray(np.random.RandomState(4).randint(
+        0, 256, (8, 1024, 2048, 3)).astype(np.uint8))
+    res = {}
+    for label, (ex, p99) in [("packed_sort", ("packed", "sort")),
+                             ("packed_approx", ("packed", "approx")),
+                             ("packed16_approx", ("packed16", "approx"))]:
+        os.environ["PANODEPTH_P99"] = p99
+        fn, _, _ = build_batched_e2e(
+            pm, pp, cfg, view_width=pa.get("view_size", 512),
+            base_model=bm, base_params=bp, base_w=ba.get("pano_width", 512),
+            extract_dtype=ex)
+        res[label] = _time_ms(lambda: fn(rgbs)[0], reps=4, trials=5) / 8
+    os.environ.pop("PANODEPTH_P99", None)
+    base_ms = res["packed_sort"]
+    print(json.dumps({"bench": "e2e_variants_b8", **{
+        f"{k}_ms_per_pano": round(v, 3) for k, v in res.items()}, **{
+        f"speedup_{k}": round(base_ms / v, 3)
+        for k, v in res.items() if k != "packed_sort"}}), flush=True)
+
+
 def main() -> int:
     print(f"backend: {jax.default_backend()}", file=sys.stderr, flush=True)
     ok = True
@@ -254,6 +297,7 @@ def main() -> int:
             bench_groupnorm()
             bench_percentile()
             bench_e2e_groupnorm_ab()
+            bench_e2e_variants()
     return 0 if ok else 1
 
 

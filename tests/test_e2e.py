@@ -288,3 +288,35 @@ def test_load_model_checkpoint_new_families(tmp_path):
             assert a.shape == b.shape
         out = jax.jit(model2.apply)(params2, jnp.zeros((1, 32, 64, 3)))
         assert out.shape == (1, 32, 64)
+
+
+def test_batched_e2e_packed16_runs_and_is_close():
+    """extract_dtype='packed16' (RGB565 opt-in) through the full batched
+    graph: compiles, and the u16 output stays within a small band of the
+    f32 path (5/6/5 input quantization perturbs the CNN mildly)."""
+    from panodepth.e2e import build_batched_e2e
+
+    rng = np.random.RandomState(4)
+    rgb_u8 = rng.randint(0, 256, (2, 32, 64, 3)).astype(np.uint8)
+    rgbs = jnp.asarray(rgb_u8.astype(np.float32) / 255.0)
+    persp = PerspectiveDepthNet(stage_sizes=(1, 1, 1, 1),
+                                widths=(8, 16, 16, 32), decoder_width=16)
+    base = PanoBaselineNet(widths=(8, 16, 16, 32))
+    pp = persp.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    bp = base.init(jax.random.PRNGKey(1), jnp.zeros((1, 32, 64, 3)))
+
+    outs = {}
+    for mode in ("f32", "packed16"):
+        full, _, _ = build_batched_e2e(
+            persp, pp, E2E_CFG, view_width=64, base_model=base,
+            base_params=bp, base_w=64, extract_dtype=mode)
+        out_u16, _ = full(rgbs)
+        outs[mode] = np.asarray(out_u16).astype(np.int64)
+    # uint8 streamed input hits the pack-direct path and agrees exactly
+    full, _, _ = build_batched_e2e(
+        persp, pp, E2E_CFG, view_width=64, base_model=base,
+        base_params=bp, base_w=64, extract_dtype="packed16")
+    out_u8_in, _ = full(jnp.asarray(rgb_u8))
+    np.testing.assert_array_equal(np.asarray(out_u8_in), outs["packed16"])
+    # untrained tiny nets amplify input deltas; just bound the drift
+    assert np.abs(outs["f32"] - outs["packed16"]).mean() < 2000.0

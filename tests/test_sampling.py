@@ -101,3 +101,35 @@ def test_packed_bilinear_matches_f32_for_u8_sources():
         got = np.asarray(sampling.sample_equirect_bilinear_packed(
             packed, azi, zen))
         np.testing.assert_allclose(got, ref, atol=2e-6)
+
+
+def test_packed565_bilinear_quantization_bound():
+    """pack_rgb565_u16 + its sampler == the f32 bilinear path up to the
+    5/6/5 quantization bound (half of 1/31 resp. 1/63 per channel — the
+    interpolation is convex, so the tap error bound survives it), and is
+    EXACT for 565-representable sources."""
+    rng = np.random.RandomState(11)
+    rgb_u8 = rng.randint(0, 256, (32, 64, 3)).astype(np.uint8)
+    rgb_f32 = rgb_u8.astype(np.float32) / 255.0
+    azi = jnp.asarray(rng.uniform(0, 2 * math.pi, (10, 11)).astype(np.float32))
+    zen = jnp.asarray(rng.uniform(0, math.pi, (10, 11)).astype(np.float32))
+
+    ref = np.asarray(sampling.sample_equirect_bilinear(
+        jnp.asarray(rgb_f32), azi, zen))
+    for src in (rgb_u8, rgb_f32):
+        packed = sampling.pack_rgb565_u16(jnp.asarray(src))
+        assert packed.dtype == jnp.uint16 and packed.shape == (32, 64)
+        got = np.asarray(sampling.sample_equirect_bilinear_packed565(
+            packed, azi, zen))
+        bound = np.array([0.5 / 31, 0.5 / 63, 0.5 / 31]) + 1e-5
+        assert (np.abs(got - ref) <= bound).all()
+
+    # 565-representable image: quantization is the identity
+    q = np.stack([np.round(rgb_f32[..., 0] * 31) / 31,
+                  np.round(rgb_f32[..., 1] * 63) / 63,
+                  np.round(rgb_f32[..., 2] * 31) / 31], -1).astype(np.float32)
+    ref_q = np.asarray(sampling.sample_equirect_bilinear(
+        jnp.asarray(q), azi, zen))
+    got_q = np.asarray(sampling.sample_equirect_bilinear_packed565(
+        sampling.pack_rgb565_u16(jnp.asarray(q)), azi, zen))
+    np.testing.assert_allclose(got_q, ref_q, atol=2e-6)
