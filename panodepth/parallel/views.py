@@ -213,6 +213,12 @@ def build_latency_e2e(persp_model, persp_params, cfg: MergeConfig,
         if ex_mode == "packed":
             src = pack_rgb_u32(rgb if rgb.dtype == jnp.uint8 else rgb01)
             sampler = sample_equirect_bilinear_packed
+        elif ex_mode == "packed16":
+            from ..ops.sampling import (pack_rgb565_u16,
+                                        sample_equirect_bilinear_packed565)
+
+            src = pack_rgb565_u16(rgb if rgb.dtype == jnp.uint8 else rgb01)
+            sampler = sample_equirect_bilinear_packed565
         elif ex_mode == "bf16":
             src = rgb01.astype(jnp.bfloat16)
         else:
