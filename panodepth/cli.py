@@ -98,9 +98,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--infer-norm", default="auto",
                    choices=["auto", "f32", "bf16"],
                    help="on-device mode GroupNorm compute dtype: bf16 "
-                        "halves the norms' HBM traffic (+24% CNN "
+                        "halves the norms' HBM traffic (+24%% CNN "
                         "throughput, no measured accuracy change); auto = "
                         "bf16 on TPU, f32 elsewhere")
+    p.add_argument("--p99", default=None,
+                   choices=["sort", "topk", "approx"],
+                   help="on-device mode: the perspective net's per-image "
+                        "99th-percentile normalize (models/perspective."
+                        "_percentile99). sort = jnp.percentile (full "
+                        "per-image sort), topk = exact rank via lax.top_k, "
+                        "approx = lax.approx_max_k (fastest on TPU; the "
+                        "rank statistic may shift a few places within the "
+                        "top 1%%). Default: the library default "
+                        "(PANODEPTH_P99 env, else sort)")
     p.add_argument("--png-level", type=int, default=None, metavar="0-9",
                    help="deflate level for the 16-bit result PNGs (always "
                         "lossless). Default 1: fastest writes; 6+ for "
@@ -138,6 +148,12 @@ def main(argv=None) -> int:
         import jax
 
         tracer = jax.profiler.trace(args.trace)
+    if args.p99:
+        import os
+
+        # read at trace time by models/perspective._percentile99; the env
+        # form doubles as the test/bench hook
+        os.environ["PANODEPTH_P99"] = args.p99
     with tracer:
         if args.persp_ckpt:
             from .e2e import run_batch_e2e

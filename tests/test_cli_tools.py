@@ -335,3 +335,14 @@ def test_latest_checkpoint_prefers_newest_save(tmp_path):
     os.makedirs(f"{base}_backup")
     open(f"{base}_7", "w").close()
     assert _latest_checkpoint(base).endswith("_final")
+
+
+def test_main_cli_help_renders():
+    """argparse interpolates '%' in help strings at render time — a bare
+    '%' crashes `--help` with ValueError (regression: the --infer-norm
+    text's '+24% CNN').  Render the full help for every parser surface."""
+    from panodepth.cli import main
+
+    with pytest.raises(SystemExit) as e:
+        main(["--help"])
+    assert e.value.code == 0
