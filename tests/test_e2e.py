@@ -320,3 +320,29 @@ def test_batched_e2e_packed16_runs_and_is_close():
     np.testing.assert_array_equal(np.asarray(out_u8_in), outs["packed16"])
     # untrained tiny nets amplify input deltas; just bound the drift
     assert np.abs(outs["f32"] - outs["packed16"]).mean() < 2000.0
+
+
+def test_batched_e2e_new_baseline_families():
+    """BiFuseNet / SliceNet as the on-device panoramic baseline through
+    the full batched graph (the CLI's --baseline-ckpt contract: input
+    (B, base_w//2, base_w, 3), output (B, base_w//2, base_w) in 0~1)."""
+    from panodepth.e2e import build_batched_e2e
+    from panodepth.models.bifuse import BiFuseNet
+    from panodepth.models.slicenet import SliceNet
+
+    rng = np.random.RandomState(6)
+    rgbs = jnp.asarray(rng.rand(1, 32, 64, 3).astype(np.float32))
+    persp = PerspectiveDepthNet(stage_sizes=(1, 1, 1, 1),
+                                widths=(8, 16, 16, 32), decoder_width=16)
+    pp = persp.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    for base in (BiFuseNet(widths=(8, 16, 16, 32)),
+                 SliceNet(widths=(8, 16, 16, 32), slice_dim=32,
+                          rnn_layers=1)):
+        bp = base.init(jax.random.PRNGKey(1), jnp.zeros((1, 32, 64, 3)))
+        full, _, _ = build_batched_e2e(
+            persp, pp, E2E_CFG, view_width=64, base_model=base,
+            base_params=bp, base_w=64)
+        out_u16, baselines = full(rgbs)
+        assert out_u16.shape == (1, E2E_CFG.out_height, E2E_CFG.out_width)
+        assert out_u16.dtype == jnp.uint16
+        assert np.isfinite(np.asarray(baselines)).all()
