@@ -216,6 +216,16 @@ def test_percentile99_topk_matches_sort(monkeypatch):
         flat = jnp.asarray(rng.rand(3, n).astype(np.float32))
         monkeypatch.delenv("PANODEPTH_P99", raising=False)
         want = np.asarray(pm._percentile99(flat))
+        # backend-dependent default: approx only on TPU (where the 12-scene
+        # held-out A/B measured it accuracy-neutral); everywhere else the
+        # no-env default must stay the exact sort so CPU tests are bit-exact
+        if jax.default_backend() != "tpu":
+            np.testing.assert_array_equal(
+                want, np.asarray(jnp.percentile(flat, 99.0, axis=1)))
+        monkeypatch.setenv("PANODEPTH_P99", "sort")
+        np.testing.assert_array_equal(np.asarray(pm._percentile99(flat)),
+                                      np.asarray(jnp.percentile(flat, 99.0,
+                                                                axis=1)))
         monkeypatch.setenv("PANODEPTH_P99", "topk")
         got = np.asarray(pm._percentile99(flat))
         np.testing.assert_allclose(got, want, rtol=0, atol=2e-6)
