@@ -181,12 +181,16 @@ def main() -> None:
         os._exit(2)
 
     # preflight: a trivial device op under a short fuse — when the tunnel
-    # is wedged this fails in minutes instead of burning the full budget
+    # is wedged this fails in minutes instead of burning the full budget.
+    # The shape varies per process: a probe killed mid-compile can wedge
+    # its own remote cache entry, so a FIXED probe shape could keep a
+    # healthy tunnel looking dead forever (see CLAUDE.md env gotchas).
     preflight = threading.Timer(
         float(os.environ.get("BENCH_PREFLIGHT_S", "420")), _abort)
     preflight.daemon = True
     preflight.start()
-    sync(jnp.ones((128, 128)) @ jnp.ones((128, 128)))
+    n = 120 + os.getpid() % 17
+    sync(jnp.ones((n, n)) @ jnp.ones((n, n)))
     preflight.cancel()
 
     watchdog = threading.Timer(
