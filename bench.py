@@ -42,7 +42,11 @@ import numpy as np
 # gathers + Pallas fused-iteration Jacobi + round-up CNN shapes) — b16
 # 54.1/s (58.5 with round-down 224x256 CNN shapes; bf16 gathers:
 # b8 50.4, b16 53.5, b32 45.0/s).
-BATCH = int(os.environ.get("BENCH_BATCH", "16"))
+# Re-swept after the normal-equations registration solve (r2 tail): the
+# sweet spot moved 16 -> 24 — 2048 fused b12 217, b16 261, b24 275.4;
+# 4096 fused b16 66.8, b24 68.3; e2e b16 64.7, b24 68.2, b32 68.0
+# (plateau).  b32 fused still regresses (HBM pressure).
+BATCH = int(os.environ.get("BENCH_BATCH", "24"))
 REPS = int(os.environ.get("BENCH_REPS", "5"))
 TRIALS = int(os.environ.get("BENCH_TRIALS", "5"))
 NORTH_STAR = 30.0  # panoramas/sec @2048 on v5e-8 (BASELINE.json)
@@ -137,7 +141,7 @@ def bench_e2e() -> None:
 
     rng = np.random.RandomState(1)
     e2e_reps = max(2, REPS // 2)
-    for batch in (1, int(os.environ.get("BENCH_E2E_BATCH", "16"))):
+    for batch in (1, int(os.environ.get("BENCH_E2E_BATCH", "24"))):
         fn, _, _ = build_batched_e2e(
             persp_model, persp_params, cfg, view_width=vw,
             base_model=base_model, base_params=base_params, base_w=bw)
@@ -198,7 +202,7 @@ def main() -> None:
     watchdog.daemon = True
     watchdog.start()
     bench_merge(2048, BATCH)
-    bench_merge(4096, BATCH)  # batch 16 is the 4096 sweet spot too (5.6x b1)
+    bench_merge(4096, BATCH)  # batch 24 is the 4096 sweet spot too (5.7x b1)
     bench_e2e()
     watchdog.cancel()
 
