@@ -43,7 +43,8 @@ import numpy as np
 # 54.1/s (58.5 with round-down 224x256 CNN shapes; bf16 gathers:
 # b8 50.4, b16 53.5, b32 45.0/s).
 # Re-swept after the normal-equations registration solve (r2 tail): the
-# sweet spot moved 16 -> 24 — 2048 fused b12 217, b16 261, b24 275.4;
+# sweet spot moved 16 -> 24 and is SHARP — 2048 fused b12 217, b16 261,
+# b20 235, b24 275.4, b28 182 (tiling alignment, not a smooth curve);
 # 4096 fused b16 66.8, b24 68.3; e2e b16 64.7, b24 68.2, b32 68.0
 # (plateau).  b32 fused still regresses (HBM pressure).
 BATCH = int(os.environ.get("BENCH_BATCH", "24"))
