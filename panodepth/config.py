@@ -127,8 +127,58 @@ LAYOUTS = {
 }
 
 
+def _cround(v: float) -> int:
+    """C round(): half away from zero (numpy rounds half to even)."""
+    return int(np.floor(v + 0.5)) if v >= 0 else int(np.ceil(v - 0.5))
+
+
+def validate_layout(layout: ViewLayout,
+                    out_widths: Tuple[int, ...] = (2048,)) -> None:
+    """Raise ValueError (naming the bad view) for unusable layouts.
+
+    A view whose azimuth range rounds to a single pixel column at any
+    pyramid level has an empty fusion footprint — the reference's bbox
+    walk would loop forever on it (``Depth.cpp:1503-1511`` steps x from
+    x0 until x1 exclusive, so x0 == x1 never terminates); our dense plan
+    used to die on a bare assert deep inside plan building (fusion
+    view_bbox).  Checked here at configuration time instead.
+    """
+    if layout.fovs.shape != layout.ranges.shape or \
+            layout.fovs.ndim != 2 or layout.fovs.shape[1] != 4 or \
+            layout.fovs.shape[0] < 1:
+        raise ValueError(
+            f"layout {layout.name!r}: fovs/ranges must both be (N>=1, 4), "
+            f"got fovs {layout.fovs.shape} ranges {layout.ranges.shape}")
+    lim = 359.9 * D2R
+    for out_width in out_widths:
+        widths = [out_width // 2 ** l
+                  for l in range(len(jacobi_schedule(out_width)))]
+        for v in range(layout.ranges.shape[0]):
+            r0, r1 = (min(layout.ranges[v, 0], lim),
+                      min(layout.ranges[v, 1], lim))
+            for w in widths:
+                x0 = _cround(r0 / (2 * math.pi) * (w - 1))
+                x1 = _cround(r1 / (2 * math.pi) * (w - 1))
+                x0c = min(max(x0, 0), w - 1)
+                x1c = min(max(x1, 0), w - 1)
+                if x0c == x1c:
+                    raise ValueError(
+                        f"layout {layout.name!r} view {v} "
+                        f"({layout.ranges[v, 0] / D2R:.3f}deg.."
+                        f"{layout.ranges[v, 1] / D2R:.3f}deg): azimuth "
+                        f"range rounds to a single pixel column at "
+                        f"pyramid width {w} (out_width {out_width}) — "
+                        f"empty fusion footprint (the reference's bbox "
+                        f"walk would never terminate on it)")
+
+
 def register_layout(layout: ViewLayout) -> ViewLayout:
-    """Register a custom layout so MergeConfig can refer to it by name."""
+    """Register a custom layout so MergeConfig can refer to it by name.
+
+    Validates basic shape sanity immediately; width-dependent footprint
+    checks run again at MergeConfig construction (validate_layout).
+    """
+    validate_layout(layout, out_widths=())
     LAYOUTS[layout.name] = lambda: layout
     return layout
 
@@ -169,6 +219,7 @@ class MergeConfig:
         if self.layout_name not in LAYOUTS:
             raise ValueError(f"unknown layout {self.layout_name!r}; "
                              f"have {sorted(LAYOUTS)}")
+        validate_layout(self.layout, out_widths=(self.out_width,))
 
     @property
     def out_height(self) -> int:

@@ -58,9 +58,7 @@ from .ops.sampling import (as01_post, sample_equirect_nearest,
 TWO_PI = 2.0 * np.pi
 
 
-def _cround(v: float) -> int:
-    """C round(): half away from zero (numpy rounds half to even)."""
-    return int(np.floor(v + 0.5)) if v >= 0 else int(np.ceil(v - 0.5))
+from .config import _cround  # C round(): half away from zero
 
 
 def view_bbox(rng, width, height, height0, height1) -> Tuple[int, int, int, int]:
@@ -81,7 +79,11 @@ def view_bbox(rng, width, height, height0, height1) -> Tuple[int, int, int, int]
     x1 = min(max(x1, 0), width - 1)
     y0 = max(y0, height0 + 1)
     y1 = min(y1, height1 - 1)
-    assert x0 != x1, "degenerate azimuth footprint (reference would loop forever)"
+    if x0 == x1:  # unreachable for MergeConfig-validated layouts
+        raise ValueError(
+            "degenerate azimuth footprint (single pixel column; the "
+            "reference's bbox walk would loop forever) — "
+            "config.validate_layout should have rejected this layout")
     # x walk covers [x0, x1) in steps of xs -> inclusive interval:
     x_lo, x_hi = (x0, x1 - 1) if xs == 1 else (x1 + 1, x0)
     return x_lo, x_hi, y0, y1

@@ -179,6 +179,10 @@ def supported(shape, num_groups: int, in_dtype=jnp.bfloat16,
     # the v5e: the same 1 MB block pair runs at grid 8 but allocates two
     # extra stages at grid 120), so budget 4 buffers per block beyond
     # tiny grids, plus the stats loop's live f32 band temporaries.
+    # CAVEAT: only grids 8 and 120 were measured; the 8/9 boundary between
+    # them is an unverified assumption (conservative at worst while the
+    # kernel stays opt-in, PANODEPTH_FUSED_GN=1).  Re-measure the actual
+    # buffer count at intermediate grid sizes before enabling by default.
     bufs = 2 if shape[0] <= 8 else 4
     if bufs * (in_b + out_b) + 3 * _BAND_BYTES > _VMEM_BUDGET:
         return False

@@ -124,6 +124,18 @@ def _pallas_jacobi_impl(buf, target, covf, iterations, step, reg, interpret):
 
         return fusion.jacobi(buf, target, covf > 0, iterations, step, reg)
     k, halo, band = cfg
+    # Enforce (not just document) the edge-distance precondition: covered
+    # pixels must sit >= halo rows inside the top/bottom edge or the zero
+    # halo diverges from the jnp path's vertical roll.  Coverage is a
+    # traced value, so the check is the static conservative proxy the
+    # contract rests on — the production zenith clamp keeps covered rows
+    # >= h*26/180 from the edge (reference Depth.cpp:22, band 26..154deg).
+    # Levels too short to guarantee that take the jnp path instead of
+    # silently diverging (they're small, so the detour is cheap).
+    if h * 26 < halo * 180:
+        from .. import fusion
+
+        return fusion.jacobi(buf, target, covf > 0, iterations, step, reg)
     n_bands = pl.cdiv(h, band)
     pad_h = n_bands * band
     slab = band + 2 * halo

@@ -153,6 +153,50 @@ def _normal_solve4(A):
     return solve
 
 
+def _chol_solve_factory(G):
+    """Equilibrated Cholesky solve for a small SPD system of *static* size,
+    Python-unrolled into pure jnp arithmetic — no LAPACK/FFI custom calls.
+
+    The generic sibling of :func:`_normal_solve4` (which stays hand-tuned
+    for the hot 4x4 cubic path): deserialized LAPACK FFI custom calls
+    (qr/solve_triangular/solve) SEGFAULT cross-process under ``jax.export``
+    on this jaxlib (CLAUDE.md env gotchas), so every solver in the public
+    registration family must lower to plain arithmetic.  n is a Python int
+    at trace time (degree+1 <= 5 here), so full unrolling is free.
+
+    Returns ``solve(rhs)`` reusing the factorization.
+    """
+    n = G.shape[0]
+    d = jax.lax.rsqrt(jnp.maximum(jnp.diagonal(G), 1e-38))
+    Gs = G * d[:, None] * d[None, :]      # unit-diagonal equilibration
+    ssqrt = lambda v: jnp.sqrt(jnp.maximum(v, 1e-38))
+    L = [[None] * n for _ in range(n)]
+    for i in range(n):
+        for j in range(i + 1):
+            s = Gs[i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            L[i][j] = ssqrt(s) if i == j else s / L[j][j]
+
+    def solve(rhs):
+        b = rhs * d
+        y = [None] * n
+        for i in range(n):
+            s = b[i]
+            for k in range(i):
+                s = s - L[i][k] * y[k]
+            y[i] = s / L[i][i]
+        x = [None] * n
+        for i in reversed(range(n)):
+            s = y[i]
+            for k in range(i + 1, n):
+                s = s - L[k][i] * x[k]
+            x[i] = s / L[i][i]
+        return jnp.stack(x) * d
+
+    return solve
+
+
 def fit_cubic(x, y, weight):
     """Weighted LSQ fit of y ~ a x^3 + b x^2 + c x + d.  Returns (4,) abcd.
 
@@ -324,24 +368,35 @@ def fit_poly(x, y, weight, degree: int = 3):
     x = x.reshape(-1)
     y = y.reshape(-1)
     w = weight.reshape(-1)
-    u = x - 0.5
-    V = jnp.stack([u ** k for k in range(degree, -1, -1)], axis=-1)
+    # standardized basis t = (x - s)/sig as in fit_cubic: the Gram matrix's
+    # squared conditioning is what makes raw normal equations fragile, and
+    # standardization keeps it near-orthogonal for narrow data slices
+    wsum = jnp.maximum(jnp.sum(w), 1e-38)
+    s = jnp.sum(w * x) / wsum
+    var = jnp.sum(w * (x - s) ** 2) / wsum
+    sig = jnp.maximum(jnp.sqrt(var), 1e-6)
+    t = (x - s) / sig
+    V = jnp.stack([t ** k for k in range(degree, -1, -1)], axis=-1)
     Vw = V * w[:, None]
     yw = y * w
-    Q, R = jnp.linalg.qr(Vw)
-    solve = lambda rhs: jax.scipy.linalg.solve_triangular(R, Q.T @ rhs)
-    beta = solve(yw)
-    beta = beta + solve(yw - Vw @ beta)
-    # expand sum_k b_k (x - s)^(d-k) back to powers of x via binomials
-    s = 0.5
+    # equilibrated normal equations + iterative refinement, export-safe
+    # (pure-jnp Cholesky; LAPACK qr/solve_triangular segfault cross-process
+    # under jax.export on this jaxlib — see _chol_solve_factory)
+    solve = _chol_solve_factory(Vw.T @ Vw)
+    beta = solve(Vw.T @ yw)
+    for _ in range(2):
+        beta = beta + solve(Vw.T @ (yw - Vw @ beta))
+    # expand sum_k b_k ((x - s)/sig)^(d-k) back to powers of x: first the
+    # 1/sig^p scale into the (x - s) basis, then the binomial shift by s
     out = jnp.zeros(degree + 1, beta.dtype)
     from math import comb
 
-    for k in range(degree + 1):  # term b_k * (x - s)^(d - k)
+    for k in range(degree + 1):  # term b_k * sig^-(d-k) * (x - s)^(d - k)
         p = degree - k
+        bk = beta[k] / sig ** p
         for j in range(p + 1):  # binomial expansion into x^j
             coeff = comb(p, j) * ((-s) ** (p - j))
-            out = out.at[degree - j].add(beta[k] * coeff)
+            out = out.at[degree - j].add(bk * coeff)
     return out
 
 
@@ -378,7 +433,10 @@ def fit_reciprocal(x, y, weight, init=(1.0, 1.0, 1.0, 1.0), iters=50):
         J = jax.jacfwd(residual)(p)
         JTJ = J.T @ J
         damped = JTJ + lam * jnp.diag(jnp.diagonal(JTJ)) + 1e-12 * jnp.eye(4)
-        delta = jnp.linalg.solve(damped, J.T @ r)
+        # damped JTJ is SPD: pure-jnp Cholesky keeps the graph export-safe
+        # (jnp.linalg.solve is a LAPACK FFI call that segfaults when a
+        # deserialized jax.export artifact runs cross-process)
+        delta = _chol_solve_factory(damped)(J.T @ r)
         p_new = p - delta
         better = cost(p_new) < cost(p)
         p = jnp.where(better, p_new, p)

@@ -265,16 +265,22 @@ def bench_e2e_variants() -> None:
     rgbs = jnp.asarray(np.random.RandomState(4).randint(
         0, 256, (8, 1024, 2048, 3)).astype(np.uint8))
     res = {}
-    for label, (ex, p99) in [("packed_sort", ("packed", "sort")),
-                             ("packed_approx", ("packed", "approx")),
-                             ("packed16_approx", ("packed16", "approx"))]:
-        os.environ["PANODEPTH_P99"] = p99
-        fn, _, _ = build_batched_e2e(
-            pm, pp, cfg, view_width=pa.get("view_size", 512),
-            base_model=bm, base_params=bp, base_w=ba.get("pano_width", 512),
-            extract_dtype=ex)
-        res[label] = _time_ms(lambda: fn(rgbs)[0], reps=4, trials=5) / 8
-    os.environ.pop("PANODEPTH_P99", None)
+    saved_p99 = os.environ.get("PANODEPTH_P99")  # restore, don't clobber
+    try:
+        for label, (ex, p99) in [("packed_sort", ("packed", "sort")),
+                                 ("packed_approx", ("packed", "approx")),
+                                 ("packed16_approx", ("packed16", "approx"))]:
+            os.environ["PANODEPTH_P99"] = p99
+            fn, _, _ = build_batched_e2e(
+                pm, pp, cfg, view_width=pa.get("view_size", 512),
+                base_model=bm, base_params=bp,
+                base_w=ba.get("pano_width", 512), extract_dtype=ex)
+            res[label] = _time_ms(lambda: fn(rgbs)[0], reps=4, trials=5) / 8
+    finally:
+        if saved_p99 is None:
+            os.environ.pop("PANODEPTH_P99", None)
+        else:
+            os.environ["PANODEPTH_P99"] = saved_p99
     base_ms = res["packed_sort"]
     print(json.dumps({"bench": "e2e_variants_b8", **{
         f"{k}_ms_per_pano": round(v, 3) for k, v in res.items()}, **{

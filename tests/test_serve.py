@@ -1,5 +1,9 @@
 """AOT export/serve roundtrip: serialized graphs match the live ones."""
 
+import os
+import subprocess
+import sys
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -40,6 +44,89 @@ def test_run_smoke_cli(tmp_path, capsys):
     assert serve.main(["run", path]) == 0
     out = capsys.readouterr().out
     assert "ran ok" in out and "merge graph" in out
+
+
+_XPROC_RUNNER = """
+import sys
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+from panodepth import serve
+art = serve.load(sys.argv[1])
+data = np.load(sys.argv[2])
+out = art(*[jax.numpy.asarray(data[k]) for k in sorted(data.files)])
+np.save(sys.argv[3], np.asarray(out))
+"""
+
+
+def _run_artifact_cross_process(path, inputs, tmp_path, tag):
+    """Deserialize + execute an exported artifact in a FRESH process.
+
+    In-process roundtrips can't catch the failure mode this guards: on
+    this jaxlib a deserialized LAPACK FFI custom call (qr/solve/
+    solve_triangular) SEGFAULTS when the artifact runs in a process that
+    didn't trace it (r2 log minimal repro; the reason the whole
+    registration solver family is pure-jnp arithmetic).
+    """
+    inp = tmp_path / f"{tag}_in.npz"
+    outp = tmp_path / f"{tag}_out.npy"
+    np.savez(inp, **{f"a{i}": np.asarray(v) for i, v in enumerate(inputs)})
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, "-c", _XPROC_RUNNER, str(path), str(inp),
+         str(outp)],
+        capture_output=True, text=True, timeout=600, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert r.returncode == 0, (
+        f"cross-process run died rc={r.returncode} (segfault = LAPACK FFI "
+        f"leaked into the exported graph)\n{r.stderr[-2000:]}")
+    return np.load(outp)
+
+
+def test_export_fit_poly_deg2_cross_process(tmp_path):
+    """A deg-2 registration graph exports AND runs cross-process.
+
+    Before r3, fit_poly(degree!=3) used jnp.linalg.qr/solve_triangular —
+    LAPACK FFI calls that segfault on deserialization (VERDICT r2 weak #4).
+    """
+    from panodepth import registration
+
+    rng = np.random.RandomState(3)
+    x = rng.uniform(0.05, 0.95, 500).astype(np.float32)
+    true = np.asarray([0.4, -0.3, 0.5])
+    y = np.polyval(true, x).astype(np.float32)
+    w = np.ones_like(x)
+
+    fn = lambda a, b, c: registration.fit_poly(a, b, c, degree=2)
+    path = str(tmp_path / "fit2.xla")
+    serve._export_jit(fn, (jnp.asarray(x), jnp.asarray(y), jnp.asarray(w)),
+                      "fit_poly2", {}, path)
+    live = np.asarray(fn(jnp.asarray(x), jnp.asarray(y), jnp.asarray(w)))
+    got = _run_artifact_cross_process(path, (x, y, w), tmp_path, "fit2")
+    np.testing.assert_allclose(got, live, rtol=0, atol=1e-6)
+    np.testing.assert_allclose(np.polyval(got, x), y, atol=2e-3)
+
+
+def test_export_fit_reciprocal_cross_process(tmp_path):
+    """The LM reciprocal fit exports AND runs cross-process (its damped
+    4x4 solve was jnp.linalg.solve — LAPACK FFI — before r3)."""
+    from panodepth import registration
+
+    rng = np.random.RandomState(7)
+    x = rng.uniform(0.1, 0.9, 400).astype(np.float32)
+    y = (0.7 / (1.3 * x + 0.4) + 0.05).astype(np.float32)
+    w = np.ones_like(x)
+
+    path = str(tmp_path / "recip.xla")
+    serve._export_jit(registration.fit_reciprocal,
+                      (jnp.asarray(x), jnp.asarray(y), jnp.asarray(w)),
+                      "fit_reciprocal", {}, path)
+    live = np.asarray(registration.fit_reciprocal(
+        jnp.asarray(x), jnp.asarray(y), jnp.asarray(w)))
+    got = _run_artifact_cross_process(path, (x, y, w), tmp_path, "recip")
+    np.testing.assert_allclose(got, live, rtol=0, atol=1e-6)
+    pred = got[2] / (got[0] * x + got[1]) + got[3]
+    np.testing.assert_allclose(pred, y, atol=1e-4)
 
 
 def test_load_without_meta_sidecar(tmp_path, capsys):
