@@ -19,13 +19,20 @@ import numpy as np
 
 
 def evaluate(ckpt_path: str, count: int = 16, seed: int = 77_000,
-             align_way: int = 1, batch: int = 4, scene_version="v1"):
+             align_way: int = 1, batch: int = 4, scene_version="v1",
+             corrupt: bool = False):
+    """``corrupt=True`` degrades the rendered RGB with the FIXED
+    mid-severity camera-pipeline corruption (ops/corrupt.eval_corruption:
+    exposure + noise + JPEG q40) before prediction — ground truth stays
+    exact, so the clean-vs-corrupted metric delta measures input-domain
+    robustness directly."""
     import jax
     import jax.numpy as jnp
 
     from .. import metrics as pmetrics
     from .. import synth
     from ..e2e import load_model_checkpoint
+    from ..ops import corrupt as pcorrupt
 
     model, params, arch = load_model_checkpoint(ckpt_path)
     kind = arch["model"]
@@ -49,6 +56,7 @@ def evaluate(ckpt_path: str, count: int = 16, seed: int = 77_000,
                 lambda s: synth.render_pano(s, pw, pw // 2, use_v2))(scenes)
 
     predict = jax.jit(model.apply)
+    degrade = jax.jit(pcorrupt.eval_corruption) if corrupt else None
 
     recs = []
     done = 0
@@ -63,6 +71,8 @@ def evaluate(ckpt_path: str, count: int = 16, seed: int = 77_000,
             rgb, dep = render(scenes, fovs)
         else:
             rgb, dep = render(scenes)
+        if degrade is not None:
+            rgb = degrade(rgb)
         pred = predict(params, rgb)
         for i in range(n):
             m = pmetrics.error_metrics(dep[i], pred[i],
@@ -79,7 +89,7 @@ def evaluate(ckpt_path: str, count: int = 16, seed: int = 77_000,
 
     agg = {k: float(np.mean([r[k] for r in recs])) for k in recs[0]}
     agg.update(model=kind, ckpt=ckpt_path, count=count, align_way=align_way,
-               scenes=str(scene_version))
+               scenes=str(scene_version), corrupt=corrupt)
     return agg
 
 
@@ -91,6 +101,11 @@ def main(argv=None) -> int:
     p.add_argument("--align-way", type=int, default=1, choices=[0, 1, 2])
     p.add_argument("--scenes", default="v1", choices=["v1", "v2", "mix"],
                    help="held-out scene distribution (see panodepth.synth)")
+    p.add_argument("--corrupt", action="store_true",
+                   help="degrade the rendered RGB with fixed mid-severity "
+                        "camera-pipeline corruption (exposure + noise + "
+                        "JPEG q40) before prediction — measures "
+                        "input-domain robustness (gt stays exact)")
     p.add_argument("--platform", default="auto",
                    choices=["auto", "cpu", "tpu"])
     args = p.parse_args(argv)
@@ -99,7 +114,8 @@ def main(argv=None) -> int:
 
         jax.config.update("jax_platforms", args.platform)
     print(json.dumps(evaluate(args.ckpt, args.count, args.seed,
-                              args.align_way, scene_version=args.scenes)))
+                              args.align_way, scene_version=args.scenes,
+                              corrupt=args.corrupt)))
     return 0
 
 

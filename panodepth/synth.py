@@ -634,9 +634,16 @@ def synth_batches(batch_size: int, kind: str = "perspective",
 
 def write_dataset(outdir: str, count: int, width: int = 2048,
                   seed: int = 0, start: int = 0, version=1,
+                  jpeg_quality: int = 95, noise_sigma: float = 0.0,
                   log=print) -> None:
     """Write ``count`` scenes as rgb/synth_NNNN.jpg + gt/synth_NNNN.png
-    (matterport naming, consumable by the batch driver and train_cli)."""
+    (matterport naming, consumable by the batch driver and train_cli).
+
+    ``jpeg_quality`` / ``noise_sigma`` degrade the SAVED RGB only (real
+    libjpeg encode at low quality + Gaussian sensor noise) while the gt
+    stays exact — a corrupted evalset for measuring input-domain
+    robustness through the full file-based CLI (the reference's stage-A
+    inputs are camera JPEGs, Main.cpp:320)."""
     import os
 
     from . import io as pio
@@ -654,8 +661,11 @@ def write_dataset(outdir: str, count: int, width: int = 2048,
         rgb = np.asarray(jax.device_get(rgb))
         dep = np.asarray(jax.device_get(dep))
         name = f"synth_{start + i:04d}"
+        if noise_sigma > 0.0:
+            rgb = np.clip(rgb + rng.randn(*rgb.shape).astype(np.float32)
+                          * noise_sigma, 0.0, 1.0)
         pio.save_jpg(os.path.join(outdir, "rgb", name + ".jpg"), rgb,
-                     quality=95)
+                     quality=jpeg_quality)
         pio.save_png16(os.path.join(outdir, "gt", name + ".png"),
                        (np.clip(dep, 0, 1) * 65535.0 + 0.5).astype(np.uint16))
         if (i + 1) % 10 == 0:
@@ -678,13 +688,21 @@ def main(argv=None) -> int:
                    help="scene distribution: v1 = original convex rooms, "
                         "v2 = diverse (L-rooms, corridors, cylinders, "
                         "point light), mix = 35%% v1 / 65%% v2")
+    p.add_argument("--jpeg-quality", type=int, default=95,
+                   help="JPEG quality for the saved RGB (low values write "
+                        "a corrupted evalset; gt stays exact)")
+    p.add_argument("--noise-sigma", type=float, default=0.0,
+                   help="Gaussian sensor noise added to the saved RGB "
+                        "before JPEG encoding (gt stays exact)")
     p.add_argument("--platform", default="auto",
                    choices=["auto", "cpu", "tpu"])
     args = p.parse_args(argv)
     if args.platform != "auto":
         jax.config.update("jax_platforms", args.platform)
     write_dataset(args.outdir, args.count, width=args.width, seed=args.seed,
-                  start=args.start, version=args.scenes)
+                  start=args.start, version=args.scenes,
+                  jpeg_quality=args.jpeg_quality,
+                  noise_sigma=args.noise_sigma)
     return 0
 
 

@@ -68,6 +68,12 @@ def build_parser():
                         "datasets: horizontal flip + photometric gain, plus "
                         "circular azimuth rolls for panoramic batches "
                         "(--synth scenes are unlimited and skip this)")
+    p.add_argument("--corrupt", action="store_true",
+                   help="camera-pipeline corruption of the RGB inputs "
+                        "(JPEG artifacts + sensor noise + exposure jitter, "
+                        "ops/corrupt.py) — hardens the models against the "
+                        "reference's real-photo JPEG inputs "
+                        "(Main.cpp:320); runs on-device, targets untouched")
     p.add_argument("--ema", type=float, default=None, metavar="DECAY",
                    help="track an exponential moving average of the params "
                         "(e.g. 0.999) inside the optimizer state; the final "
@@ -207,24 +213,38 @@ def main(argv=None) -> int:
         log(f"[train] {len(pairs)} pairs/host, {pcnt} process(es), "
             f"{n_dev} device(s)")
 
-    def make_batches(kind, seed, src=None, augment=None):
+    if args.corrupt:
+        sz = (args.view_size if args.model == "perspective"
+              else args.pano_width)
+        if sz % 16:
+            raise SystemExit(f"--corrupt needs the input size to be a "
+                             f"multiple of 16 (JPEG 4:2:0 MCU), got {sz}")
+
+    def make_batches(kind, seed, src=None, augment=None, corrupt=None):
+        corrupt = args.corrupt if corrupt is None else corrupt
         if args.synth:
             from . import synth
 
-            return synth.synth_batches(
+            batches = synth.synth_batches(
                 local_bs, kind=kind, view_size=args.view_size,
                 pano_width=args.pano_width, seed=seed,
                 version=args.synth_version)
-        src = pairs if src is None else src
-        augment = args.augment if augment is None else augment
-        if kind == "perspective":
-            return pdata.perspective_batches(src, local_bs,
-                                             view_size=args.view_size,
-                                             seed=seed,
-                                             augment=augment)
-        return pdata.pano_batches(src, local_bs,
-                                  width=args.pano_width, seed=seed,
-                                  augment=augment)
+        else:
+            src = pairs if src is None else src
+            augment = args.augment if augment is None else augment
+            if kind == "perspective":
+                batches = pdata.perspective_batches(
+                    src, local_bs, view_size=args.view_size, seed=seed,
+                    augment=augment)
+            else:
+                batches = pdata.pano_batches(src, local_bs,
+                                             width=args.pano_width,
+                                             seed=seed, augment=augment)
+        if corrupt:
+            from .ops import corrupt as pcorrupt
+
+            batches = pcorrupt.corrupt_batches(batches, seed)
+        return batches
 
     s = args.width_scale
     if args.model == "perspective":
@@ -360,7 +380,7 @@ def main(argv=None) -> int:
 
         raw = list(itertools.islice(
             make_batches(batch_kind, args.seed + 999_331 + pidx * 7919,
-                         src=val_pairs, augment=False),
+                         src=val_pairs, augment=False, corrupt=False),
             args.eval_batches))
         if pcnt > 1:
             eval_data = [tuple(mh.global_batch(mesh, np.asarray(b))
