@@ -143,7 +143,10 @@ def load_model_checkpoint(ckpt_path: str, norm_dtype=None):
     kind = arch["model"]
     kw = {} if norm_dtype is None else {"norm_dtype": norm_dtype}
     if kind == "perspective":
-        model = PerspectiveDepthNet(
+        cls = PerspectiveDepthNet
+        if arch.get("variant", "gn") == "nf":
+            from .models.perspective import NFPerspectiveNet as cls
+        model = cls(
             widths=tuple(max(8, int(w * s)) for w in (64, 128, 256, 512)),
             decoder_width=max(16, int(128 * s)), **kw)
         sample = jnp.zeros((1, arch.get("view_size", 256),

@@ -135,6 +135,167 @@ class PerspectiveDepthNet(nn.Module):
         return nn.softplus(y[..., 0])
 
 
+# relu gain: 1/sqrt(E[relu(z)^2]) for z ~ N(0,1) — makes conv(relu(x))
+# variance-preserving under scaled weight standardization (NF-ResNets,
+# Brock et al. 2021, "Characterizing signal propagation")
+_RELU_GAIN = math.sqrt(2.0 / (1.0 - 1.0 / math.pi))
+
+
+class WSConv(nn.Module):
+    """Conv with scaled weight standardization + learnable gain/bias.
+
+    The standardization depends only on the *weights* (not activations),
+    so at inference it costs O(params) arithmetic and ZERO extra
+    activation HBM traffic — unlike GroupNorm, which forces a full
+    materialize -> stats -> normalize round-trip of every activation
+    tensor.  That round-trip is why the GN perspective net runs <25% MXU
+    (HBM-bound); this is the norm-free replacement.
+    """
+
+    features: int
+    kernel: tuple = (3, 3)
+    strides: tuple = (1, 1)
+    dtype: jnp.dtype = jnp.bfloat16
+    gain_act: float = _RELU_GAIN
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = self.kernel
+        cin = x.shape[-1]
+        w = self.param("kernel", nn.initializers.he_normal(),
+                       (kh, kw, cin, self.features), jnp.float32)
+        gain = self.param("gain", nn.initializers.ones,
+                          (self.features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        mu = w.mean((0, 1, 2), keepdims=True)
+        var = w.var((0, 1, 2), keepdims=True)
+        fan_in = kh * kw * cin
+        w = (w - mu) * jax.lax.rsqrt(var * fan_in + 1e-8)
+        w = w * (self.gain_act * gain)
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), w.astype(self.dtype),
+            window_strides=self.strides, padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y + bias.astype(self.dtype)
+
+
+class NFResBlock(nn.Module):
+    """Pre-activation normalizer-free residual block.
+
+    ``h <- h + alpha * f(relu(h / beta))`` with f built from
+    variance-preserving WS convs; ``beta`` is the ANALYTIC running std of
+    the residual stream (tracked in Python at trace time, no activation
+    stats), ``alpha`` the residual rate.  Transition blocks (stride/width
+    change) also route the shortcut through the downscaled activation,
+    resetting the stream variance (NF-ResNet signal-propagation recipe).
+    """
+
+    features: int
+    stride: int = 1
+    alpha: float = 0.2
+    beta: float = 1.0
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        out = nn.relu(x * jnp.asarray(1.0 / self.beta, self.dtype))
+        y = WSConv(self.features, (3, 3), (self.stride, self.stride),
+                   dtype=self.dtype)(out)
+        y = nn.relu(y)
+        y = WSConv(self.features, (3, 3), dtype=self.dtype)(y)
+        if x.shape[-1] != self.features or self.stride != 1:
+            x = WSConv(self.features, (1, 1), (self.stride, self.stride),
+                       dtype=self.dtype)(out)
+        return x + jnp.asarray(self.alpha, self.dtype) * y
+
+
+class NFFusionBlock(nn.Module):
+    """Norm-free RefineNet-style decoder block (upsample, add skip,
+    refine), WS convs throughout; additions rescaled by 1/sqrt(2) to keep
+    the stream near unit variance."""
+
+    features: int
+    alpha: float = 0.2
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, skip=None):
+        b, h, w, c = x.shape
+        x = jax.image.resize(x, (b, h * 2, w * 2, c), "nearest")
+        x = WSConv(self.features, (3, 3), dtype=self.dtype,
+                   gain_act=1.0)(x)
+        if skip is not None:
+            skip = WSConv(self.features, (3, 3), dtype=self.dtype,
+                          gain_act=1.0)(skip)
+            x = (x + skip) * jnp.asarray(1.0 / math.sqrt(2.0), self.dtype)
+        return NFResBlock(self.features, alpha=self.alpha,
+                          dtype=self.dtype)(x)
+
+
+class NFPerspectiveNet(nn.Module):
+    """Normalizer-free PerspectiveDepthNet (same encoder/decoder topology,
+    same interface, ~same parameter count) built from weight-standardized
+    convs with analytic variance tracking instead of GroupNorm.
+
+    Motivation: at inference the GN variant is HBM-bound on its norms
+    (<25% MXU; the fused-GN Pallas kernel lost its A/B, PERF.md) — the
+    norm-free design removes ALL activation-statistics traffic, leaving
+    pure conv->relu chains XLA fuses into single MXU passes.  Select with
+    ``train_cli --variant nf``; checkpoints carry ``variant: "nf"`` in the
+    arch sidecar.  ``norm_dtype`` is accepted for interface compatibility
+    and ignored (there are no norms).
+    """
+
+    stage_sizes: Sequence[int] = (2, 2, 2, 2)
+    widths: Sequence[int] = (64, 128, 256, 512)
+    decoder_width: int = 128
+    alpha: float = 0.2
+    dtype: jnp.dtype = jnp.bfloat16
+    norm_dtype: jnp.dtype = jnp.float32  # unused; API-compatible
+
+    @nn.compact
+    def __call__(self, x):
+        x = x.astype(self.dtype)
+        # stem: gain_act=1 (raw RGB in, no preceding relu)
+        x = WSConv(self.widths[0] // 2, (7, 7), (2, 2), dtype=self.dtype,
+                   gain_act=1.0)(x)
+
+        skips = []
+        var = 1.0
+        for blocks, width in zip(self.stage_sizes, self.widths):
+            for b in range(blocks):
+                x = NFResBlock(width, stride=2 if b == 0 else 1,
+                               alpha=self.alpha, beta=math.sqrt(var),
+                               dtype=self.dtype)(x)
+                # transition resets the stream (shortcut re-derived from
+                # the normalized pre-activation), then each block adds
+                # alpha^2 variance
+                var = (1.0 if b == 0 else var) + self.alpha ** 2
+            skips.append(x)
+
+        y = WSConv(self.decoder_width, (3, 3), dtype=self.dtype,
+                   gain_act=1.0)(skips[-1])
+        for skip in reversed(skips[:-1]):
+            y = NFFusionBlock(self.decoder_width, alpha=self.alpha,
+                              dtype=self.dtype)(y, skip)
+        y = NFFusionBlock(self.decoder_width, alpha=self.alpha,
+                          dtype=self.dtype)(y)  # to H/2
+
+        y = WSConv(self.decoder_width // 2, (3, 3), dtype=self.dtype)(
+            nn.relu(y))
+        y = nn.relu(y)
+        b, h, w, c = y.shape
+        y = jax.image.resize(y, (b, h * 2, w * 2, c), "bilinear")
+        y = WSConv(32, (3, 3), dtype=self.dtype)(y)
+        y = nn.relu(y)
+        # output head: identical to the GN variant (see its comment for
+        # the softplus + bias-init rationale)
+        y = nn.Conv(1, (1, 1), dtype=jnp.float32,
+                    bias_init=nn.initializers.constant(-1.8))(y)
+        return nn.softplus(y[..., 0])
+
+
 def _percentile99(flat):
     """Per-row 99th percentile of (B, N), same linear-interpolation
     semantics as ``jnp.percentile(..., 99.0, axis=1)``.

@@ -34,6 +34,12 @@ def build_parser():
                    choices=["auto", "cpu", "tpu"])
     p.add_argument("--width-scale", type=float, default=1.0,
                    help="scale model widths (quick experiments)")
+    p.add_argument("--variant", default="gn", choices=["gn", "nf"],
+                   help="perspective architecture variant: gn = GroupNorm "
+                        "(default), nf = normalizer-free (weight-"
+                        "standardized convs; no activation-stats HBM "
+                        "traffic at inference — see models/perspective.py "
+                        "NFPerspectiveNet)")
     p.add_argument("--synth", action="store_true",
                    help="train on procedurally generated scenes rendered "
                         "on-device (rgb/gt folders are ignored; see "
@@ -247,8 +253,13 @@ def main(argv=None) -> int:
         return batches
 
     s = args.width_scale
+    if args.variant != "gn" and args.model != "perspective":
+        raise SystemExit("--variant nf is a perspective-family option")
     if args.model == "perspective":
-        model = PerspectiveDepthNet(
+        cls = PerspectiveDepthNet
+        if args.variant == "nf":
+            from .models.perspective import NFPerspectiveNet as cls
+        model = cls(
             widths=tuple(max(8, int(w * s)) for w in (64, 128, 256, 512)),
             decoder_width=max(16, int(128 * s)))
         batch_kind = "perspective"
@@ -338,7 +349,7 @@ def main(argv=None) -> int:
 
         arch = dict(model=args.model, width_scale=args.width_scale,
                     view_size=args.view_size, pano_width=args.pano_width,
-                    eval_holdout=holdout)
+                    eval_holdout=holdout, variant=args.variant)
         with open(os.path.join(args.ckpt_dir, f"{args.model}.config.json"),
                   "w") as fp:
             json.dump(arch, fp)
