@@ -92,6 +92,30 @@ def test_nf_variant_loads_through_sidecar(tmp_path):
     assert out.shape == (1, 64, 64)
 
 
+def test_nf_through_full_e2e_pipeline(tiny_nf):
+    """The NF variant drives the on-device e2e graph (RGB -> views ->
+    CNN -> registration -> fusion) exactly like the GN net."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from conftest import make_equirect
+    from test_e2e import E2E_CFG
+
+    from panodepth.e2e import full_pipeline
+    from panodepth.models.panoramic import PanoBaselineNet
+
+    model, params = tiny_nf
+    base = PanoBaselineNet(widths=(8, 16, 16, 32))
+    bp = base.init(jax.random.PRNGKey(1), jnp.zeros((1, 32, 64, 3)))
+    rgb = jnp.asarray(np.stack([make_equirect(64, 32)] * 3, -1))
+    out, abcd, baseline, pmaps = jax.jit(
+        lambda r: full_pipeline(r, model, params, base, bp, cfg=E2E_CFG,
+                                view_width=64, base_w=64))(rgb)
+    assert out.shape == (E2E_CFG.out_height, E2E_CFG.out_width)
+    assert out.dtype == jnp.uint16
+    assert np.isfinite(np.asarray(abcd)).all()
+
+
 def test_nf_encoder_signal_propagation():
     """Full-width encoder keeps pre-activation variance in a sane band
     through all four stages (no collapse, no blow-up) on unit-normal
