@@ -174,7 +174,10 @@ def load_model_checkpoint(ckpt_path: str, norm_dtype=None):
         pw = arch.get("pano_width", 512)
         sample = jnp.zeros((1, pw // 2, pw, 3))
     else:
-        model = PanoBaselineNet(
+        cls = PanoBaselineNet
+        if arch.get("variant", "gn") == "nf":
+            from .models.panoramic import NFPanoBaselineNet as cls
+        model = cls(
             widths=tuple(max(8, int(w * s)) for w in (32, 64, 128, 256)),
             **kw)
         pw = arch.get("pano_width", 512)

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 from ..ops.cubemap import cubemap_to_equirect, equirect_to_cubemap
 from .norm import GroupNorm
-from .perspective import ResBlock, _groups
+from .perspective import NFResBlock, ResBlock, WSConv, _groups
 
 
 class SEGate(nn.Module):
@@ -55,6 +55,23 @@ class UniFuseBlock(nn.Module):
         z = nn.Conv(self.features, (3, 3), use_bias=False, dtype=self.dtype)(z)
         z = GroupNorm(num_groups=_groups(self.features),
                       dtype=self.norm_dtype, fuse_relu=True)(z)
+        z = SEGate(self.features, dtype=self.dtype)(z)
+        return equi_feat + z
+
+
+class NFUniFuseBlock(nn.Module):
+    """Normalizer-free unidirectional cube->equirect fusion (WS conv +
+    SE gate; no GroupNorm => no activation-stats HBM traffic)."""
+
+    features: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, equi_feat, cube_feat_equi):
+        z = jnp.concatenate([equi_feat, cube_feat_equi], axis=-1)
+        z = WSConv(self.features, (3, 3), dtype=self.dtype,
+                   gain_act=1.0)(z)
+        z = nn.relu(z)
         z = SEGate(self.features, dtype=self.dtype)(z)
         return equi_feat + z
 
@@ -108,6 +125,52 @@ class PanoBaselineNet(nn.Module):
         # stride-even input (the module contract) — no trailing resize
         y = jax.image.resize(y, (bb, hh * 2, ww * 2, cc), "bilinear")
         y = nn.Conv(32, (3, 3), dtype=self.dtype)(y)
+        y = nn.relu(y)
+        y = nn.Conv(1, (1, 1), dtype=jnp.float32)(y)
+        return nn.sigmoid(y[..., 0])
+
+
+class NFPanoBaselineNet(nn.Module):
+    """Normalizer-free PanoBaselineNet: same UniFuse-class topology with
+    weight-standardized convs in place of every GroupNorm (see
+    ``perspective.NFPerspectiveNet`` for the HBM-traffic rationale).
+    Select with ``train_cli panoramic --variant nf``; reconstructed from
+    the sidecar's ``variant`` field.  ``norm_dtype`` accepted/ignored.
+    """
+
+    widths: Sequence[int] = (32, 64, 128, 256)
+    dtype: jnp.dtype = jnp.bfloat16
+    norm_dtype: jnp.dtype = jnp.float32  # unused; API-compatible
+
+    @nn.compact
+    def __call__(self, rgb):
+        b, h, w, _ = rgb.shape
+        x = rgb.astype(self.dtype)
+        cube = jax.vmap(lambda img: equirect_to_cubemap(img, w // 4))(x)
+        cube = cube.reshape(b * 6, w // 4, w // 4, 3)
+
+        equi_skips = []
+        e, c = x, cube
+        for width in self.widths:
+            e = NFResBlock(width, stride=2, dtype=self.dtype)(e)
+            c = NFResBlock(width, stride=2, dtype=self.dtype)(c)
+            eh, ew = e.shape[1], e.shape[2]
+            c6 = c.reshape(b, 6, c.shape[1], c.shape[2], width)
+            c2e = jax.vmap(lambda f: cubemap_to_equirect(f, eh, ew))(c6)
+            e = NFUniFuseBlock(width, dtype=self.dtype)(e, c2e)
+            equi_skips.append(e)
+
+        y = equi_skips[-1]
+        for skip in reversed(equi_skips[:-1]):
+            bb, hh, ww, cc = y.shape
+            y = jax.image.resize(y, (bb, hh * 2, ww * 2, cc), "nearest")
+            y = WSConv(skip.shape[-1], (3, 3), dtype=self.dtype,
+                       gain_act=1.0)(y)
+            y = nn.relu(y)
+            y = y + skip
+        bb, hh, ww, cc = y.shape
+        y = jax.image.resize(y, (bb, hh * 2, ww * 2, cc), "bilinear")
+        y = WSConv(32, (3, 3), dtype=self.dtype)(y)
         y = nn.relu(y)
         y = nn.Conv(1, (1, 1), dtype=jnp.float32)(y)
         return nn.sigmoid(y[..., 0])

@@ -253,8 +253,9 @@ def main(argv=None) -> int:
         return batches
 
     s = args.width_scale
-    if args.variant != "gn" and args.model != "perspective":
-        raise SystemExit("--variant nf is a perspective-family option")
+    if args.variant != "gn" and args.model not in ("perspective",
+                                                   "panoramic"):
+        raise SystemExit("--variant nf is a perspective/panoramic option")
     if args.model == "perspective":
         cls = PerspectiveDepthNet
         if args.variant == "nf":
@@ -288,7 +289,10 @@ def main(argv=None) -> int:
         batch_kind = "pano"
         sample = jnp.zeros((1, args.pano_width // 2, args.pano_width, 3))
     else:
-        model = PanoBaselineNet(
+        cls = PanoBaselineNet
+        if args.variant == "nf":
+            from .models.panoramic import NFPanoBaselineNet as cls
+        model = cls(
             widths=tuple(max(8, int(w * s)) for w in (32, 64, 128, 256)))
         batch_kind = "pano"
         sample = jnp.zeros((1, args.pano_width // 2, args.pano_width, 3))

@@ -116,6 +116,45 @@ def test_nf_through_full_e2e_pipeline(tiny_nf):
     assert np.isfinite(np.asarray(abcd)).all()
 
 
+def test_nf_panoramic_shapes_and_trains():
+    from panodepth.models.panoramic import NFPanoBaselineNet
+
+    model = NFPanoBaselineNet(widths=(8, 16, 16, 32))
+    params = model.init(jax.random.PRNGKey(1), jnp.zeros((1, 32, 64, 3)))
+    out = jax.jit(model.apply)(params, jnp.zeros((2, 32, 64, 3)))
+    assert out.shape == (2, 32, 64)
+    o = np.asarray(out)
+    assert (o >= 0).all() and (o <= 1).all()
+    rng = np.random.RandomState(0)
+    rgb = jnp.asarray(rng.rand(2, 32, 64, 3).astype(np.float32))
+    depth = jnp.asarray(rng.rand(2, 32, 64).astype(np.float32))
+    mask = jnp.ones((2, 32, 64), bool)
+    tx = ptrain.make_optimizer(lr=1e-3)
+    state = ptrain.init_state(model, jax.random.PRNGKey(2), rgb[:1], tx)
+    step = jax.jit(ptrain.make_train_step(model, tx))
+    state, m0 = step(state, (rgb, depth, mask))
+    for _ in range(5):
+        state, m = step(state, (rgb, depth, mask))
+    assert float(m["loss"]) < float(m0["loss"])
+
+
+def test_nf_panoramic_loads_through_sidecar(tmp_path):
+    from panodepth.e2e import load_model_checkpoint
+    from panodepth.models.panoramic import NFPanoBaselineNet
+
+    model = NFPanoBaselineNet(widths=(8, 16, 32, 64))  # width_scale 0.25
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 64, 3)))
+    npz = str(tmp_path / "panoramic_final.params.npz")
+    ptrain.save_params_npz(npz, params)
+    with open(os.path.join(tmp_path, "panoramic.config.json"), "w") as fp:
+        json.dump(dict(model="panoramic", width_scale=0.25,
+                       view_size=256, pano_width=64, variant="nf"), fp)
+    m2, p2, arch = load_model_checkpoint(npz, norm_dtype=jnp.bfloat16)
+    assert isinstance(m2, NFPanoBaselineNet)
+    out = m2.apply(p2, jnp.zeros((1, 32, 64, 3)))
+    assert out.shape == (1, 32, 64)
+
+
 def test_nf_encoder_signal_propagation():
     """Full-width encoder keeps pre-activation variance in a sane band
     through all four stages (no collapse, no blow-up) on unit-normal
