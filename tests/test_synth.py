@@ -89,6 +89,25 @@ def test_write_dataset_roundtrip(tmp_path):
     assert len(pairs) == 2
 
 
+def test_write_dataset_corrupted_rgb_exact_gt(tmp_path):
+    """--jpeg-quality/--noise-sigma degrade only the saved RGB (real
+    low-quality libjpeg encode + sensor noise); the u16 gt stays exact, so
+    the corrupted evalset scores robustness against an unchanged truth."""
+    clean, dirty = str(tmp_path / "a"), str(tmp_path / "b")
+    synth.write_dataset(clean, 1, width=64, seed=4, log=lambda *a: None)
+    synth.write_dataset(dirty, 1, width=64, seed=4, jpeg_quality=30,
+                        noise_sigma=0.03, log=lambda *a: None)
+    gt_a = pio.load_image01(os.path.join(clean, "gt", "synth_0000.png"))
+    gt_b = pio.load_image01(os.path.join(dirty, "gt", "synth_0000.png"))
+    np.testing.assert_array_equal(gt_a, gt_b)
+    rgb_a = pio.load_image01(os.path.join(clean, "rgb", "synth_0000.jpg"))
+    rgb_b = pio.load_image01(os.path.join(dirty, "rgb", "synth_0000.jpg"))
+    d = float(np.abs(rgb_a - rgb_b).mean())
+    assert d > 0.01, d  # visibly degraded
+    assert os.path.getsize(os.path.join(dirty, "rgb", "synth_0000.jpg")) < \
+        os.path.getsize(os.path.join(clean, "rgb", "synth_0000.jpg"))
+
+
 def test_v1_render_golden():
     """v1 scenes must render bit-identically across engine changes (the
     committed zoo evals regenerate their scenes from seeds); golden values
