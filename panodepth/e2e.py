@@ -223,7 +223,7 @@ def build_batched_e2e(persp_model, persp_params, cfg: MergeConfig,
     e2e graph scales data-parallel with zero collectives on the forward
     path.  B must then be divisible by the dp size.
 
-    ``extract_dtype`` — "auto"/"packed"/"packed16"/"bf16"/"f32":
+    ``extract_dtype`` — "auto"/"packed"/"packed16"/"pair16"/"bf16"/"f32":
     representation of
     the RGB fed to the view-extraction gathers, which are HBM-bandwidth-
     bound.  "packed" gathers one u32 per bilinear tap from a
@@ -232,7 +232,11 @@ def build_batched_e2e(persp_model, persp_params, cfg: MergeConfig,
     measured on the v5e), *exact* for 8-bit sources but quantizing for
     anything wider; "packed16" goes further — an RGB565 u16 table, half
     the gathered bytes again, but quantizes the CNN's RGB input to 5/6/5
-    bits per channel (opt-in: accuracy must be A/B'd per model); "bf16"
+    bits per channel (opt-in: accuracy must be A/B'd per model);
+    "pair16" keeps the RGB565 quantization but packs each pixel PAIR
+    (x, x+1 wrapped) into one u32 (`pack_rgb565_pair_u32`) so one gather
+    serves both horizontal bilinear taps — HALF the gather count, the
+    axis the byte-narrowing modes can't touch; "bf16"
     halves the bytes instead (~8-bit mantissa,
     6.4 ms/pano).  The baseline-CNN resize runs in bf16 under either
     (both CNNs cast to bf16 internally anyway).  "auto" = packed on TPU
@@ -286,6 +290,13 @@ def build_batched_e2e(persp_model, persp_params, cfg: MergeConfig,
             src = jax.vmap(pack_rgb565_u16)(
                 rgbs if rgbs.dtype == jnp.uint8 else rgbs01)
             sampler = sample_equirect_bilinear_packed565
+        elif ex_mode == "pair16":
+            from .ops.sampling import (pack_rgb565_pair_u32,
+                                       sample_equirect_bilinear_packed565pair)
+
+            src = jax.vmap(pack_rgb565_pair_u32)(
+                rgbs if rgbs.dtype == jnp.uint8 else rgbs01)
+            sampler = sample_equirect_bilinear_packed565pair
         elif ex_mode == "bf16":
             src = rgbs01.astype(jnp.bfloat16)
         else:

@@ -205,11 +205,52 @@ def sample_equirect_bilinear_packed565(packed, azimuth, zenith):
     x0, x1, y0, y1, wx, wy = _bilinear_coords(h, w, azimuth, zenith)
 
     def tap(yy, xx):
-        v = packed[yy, xx].astype(jnp.int32)
-        return jnp.stack([((v >> 11) & 0x1F) * (1.0 / 31.0),
-                          ((v >> 5) & 0x3F) * (1.0 / 63.0),
-                          (v & 0x1F) * (1.0 / 31.0)], -1).astype(jnp.float32)
+        return _decode565(packed[yy, xx].astype(jnp.int32))
 
     top = tap(y0, x0) * (1 - wx) + tap(y0, x1) * wx
     bot = tap(y1, x0) * (1 - wx) + tap(y1, x1) * wx
     return top * (1 - wy) + bot * wy
+
+
+def _decode565(v):
+    """int32 RGB565 value(s) -> (..., 3) f32 in 0~1 (quantized levels)."""
+    return jnp.stack([((v >> 11) & 0x1F) * (1.0 / 31.0),
+                      ((v >> 5) & 0x3F) * (1.0 / 63.0),
+                      (v & 0x1F) * (1.0 / 31.0)], -1).astype(jnp.float32)
+
+
+def pack_rgb565_pair_u32(rgb):
+    """(H, W, 3) RGB -> (H, W) uint32: RGB565 of pixel x in the high 16
+    bits and of pixel (x+1) % W (azimuth wrap baked in) in the low 16.
+
+    A bilinear tap row needs exactly pixels (x0, x0+1), so ONE u32 gather
+    from this table serves BOTH horizontal taps: 2 gathers per output
+    pixel instead of the 4 of :func:`pack_rgb_u32` / the per-tap u16 of
+    :func:`pack_rgb565_u16`.  The extraction gather is gather-RATE-bound
+    (~6.9 G elem/s generic XLA gather, PERF.md), so halving the count is
+    the lever the byte-narrowing modes can't reach.  Same table bytes as
+    pack_rgb_u32 (each pixel stored twice at half precision); same 5/6/5
+    quantization trade as packed16 (opt-in, A/B per model).
+    """
+    p = pack_rgb565_u16(rgb).astype(jnp.uint32)
+    return (p << 16) | jnp.roll(p, -1, axis=1)
+
+
+def sample_equirect_bilinear_packed565pair(packed, azimuth, zenith):
+    """Bilinear equirect RGB sampling from a :func:`pack_rgb565_pair_u32`
+    table — one gather per tap ROW (top + bottom = 2 total).
+
+    Identical tap conventions and arithmetic order to
+    :func:`sample_equirect_bilinear_packed565`, so the two agree
+    bit-for-bit; only the gather pattern differs.
+    """
+    h, w = packed.shape
+    x0, _x1, y0, y1, wx, wy = _bilinear_coords(h, w, azimuth, zenith)
+
+    def row(yy):
+        v = packed[yy, x0].astype(jnp.int32)
+        left = _decode565((v >> 16) & 0xFFFF)   # pixel x0
+        right = _decode565(v & 0xFFFF)          # pixel (x0+1) % w
+        return left * (1 - wx) + right * wx
+
+    return row(y0) * (1 - wy) + row(y1) * wy

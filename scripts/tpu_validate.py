@@ -269,7 +269,8 @@ def bench_e2e_variants() -> None:
     try:
         for label, (ex, p99) in [("packed_sort", ("packed", "sort")),
                                  ("packed_approx", ("packed", "approx")),
-                                 ("packed16_approx", ("packed16", "approx"))]:
+                                 ("packed16_approx", ("packed16", "approx")),
+                                 ("pair16_approx", ("pair16", "approx"))]:
             os.environ["PANODEPTH_P99"] = p99
             fn, _, _ = build_batched_e2e(
                 pm, pp, cfg, view_width=pa.get("view_size", 512),

@@ -321,6 +321,14 @@ def test_batched_e2e_packed16_runs_and_is_close():
     # untrained tiny nets amplify input deltas; just bound the drift
     assert np.abs(outs["f32"] - outs["packed16"]).mean() < 2000.0
 
+    # pair16 (pixel-pair u32 table, half the gather count) feeds the CNNs
+    # bit-identical RGB to packed16, so the full graph agrees exactly
+    full, _, _ = build_batched_e2e(
+        persp, pp, E2E_CFG, view_width=64, base_model=base,
+        base_params=bp, base_w=64, extract_dtype="pair16")
+    out_pair, _ = full(rgbs)
+    np.testing.assert_array_equal(np.asarray(out_pair), outs["packed16"])
+
 
 def test_batched_e2e_new_baseline_families():
     """BiFuseNet / SliceNet as the on-device panoramic baseline through

@@ -260,3 +260,19 @@ def test_latency_packed16_matches_batched():
     # so more pixels sit 2-8 ulps apart across graph shapes (measured
     # 0.44% here vs 0.1% for f32); the max-ulp bound is the real pin
     assert (du16 > 1).mean() < 2e-2
+
+
+def test_latency_pair16_matches_packed16():
+    """extract_dtype='pair16' through the latency graph is bit-identical
+    to packed16 through the same graph (same RGB565 quantization and f32
+    arithmetic; only the gather pattern differs)."""
+    rgb = _rgb()
+    mesh = make_vp_mesh(8)
+    outs = {}
+    for mode in ("packed16", "pair16"):
+        fn = build_latency_e2e(StubPersp(), PARAMS, CFG, mesh,
+                               view_width=32, base_model=StubBase(),
+                               base_params=PARAMS, base_w=64,
+                               extract_dtype=mode)
+        outs[mode] = np.asarray(fn(rgb)[0])
+    np.testing.assert_array_equal(outs["pair16"], outs["packed16"])

@@ -133,3 +133,33 @@ def test_packed565_bilinear_quantization_bound():
     got_q = np.asarray(sampling.sample_equirect_bilinear_packed565(
         sampling.pack_rgb565_u16(jnp.asarray(q)), azi, zen))
     np.testing.assert_allclose(got_q, ref_q, atol=2e-6)
+
+
+def test_pair16_bitwise_matches_packed565():
+    """pack_rgb565_pair_u32 + its row sampler is BIT-identical to the
+    per-tap packed565 path (same quantized values, same f32 arithmetic
+    order — only the gather pattern differs), including at the azimuth
+    seam where the pair table bakes in the x+1 wrap."""
+    rng = np.random.RandomState(13)
+    rgb_u8 = rng.randint(0, 256, (32, 64, 3)).astype(np.uint8)
+    # bias sample coords onto the seam column (x0 = w-1 -> x1 wraps to 0)
+    azi = np.concatenate([
+        rng.uniform(0, 2 * math.pi, 80),
+        rng.uniform(2 * math.pi - 0.02, 2 * math.pi, 20),
+    ]).astype(np.float32).reshape(10, 10)
+    zen = rng.uniform(0, math.pi, (10, 10)).astype(np.float32)
+    azi, zen = jnp.asarray(azi), jnp.asarray(zen)
+
+    pair = sampling.pack_rgb565_pair_u32(jnp.asarray(rgb_u8))
+    assert pair.dtype == jnp.uint32 and pair.shape == (32, 64)
+    # table layout: high 16 = pixel x, low 16 = pixel (x+1) % w
+    p16 = np.asarray(sampling.pack_rgb565_u16(jnp.asarray(rgb_u8)))
+    pa = np.asarray(pair)
+    np.testing.assert_array_equal(pa >> 16, p16)
+    np.testing.assert_array_equal(pa & 0xFFFF, np.roll(p16, -1, axis=1))
+
+    ref = np.asarray(sampling.sample_equirect_bilinear_packed565(
+        jnp.asarray(p16), azi, zen))
+    got = np.asarray(sampling.sample_equirect_bilinear_packed565pair(
+        pair, azi, zen))
+    np.testing.assert_array_equal(got, ref)
