@@ -37,14 +37,16 @@ def main():
     rgbs = jnp.asarray(rng.randint(0, 256, (batch, 1024, 2048, 3))
                        .astype(np.uint8))
     nd = jnp.bfloat16 if jax.default_backend() == "tpu" else None
-    res = {"backend": jax.default_backend(), "batch": batch}
+    res = {"backend": jax.default_backend(), "batch": batch,
+           "extract": os.environ.get("BENCH_E2E_EXTRACT", "auto")}
     for pi, (persp, base) in enumerate(pairs):
         pm, pp, pa = load_model_checkpoint(persp, norm_dtype=nd)
         bm, bp, ba = load_model_checkpoint(base, norm_dtype=nd)
         fn, _, _ = build_batched_e2e(
             pm, pp, cfg, view_width=pa.get("view_size", 512),
             base_model=bm, base_params=bp,
-            base_w=ba.get("pano_width", 512))
+            base_w=ba.get("pano_width", 512),
+            extract_dtype=os.environ.get("BENCH_E2E_EXTRACT", "auto"))
         sync(fn(rgbs)[0])
         vals = []
         for _ in range(5):

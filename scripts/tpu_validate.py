@@ -295,11 +295,13 @@ def main() -> int:
     ok &= check_jacobi()
     ok &= check_groupnorm()
     ok &= check_packed_sampling()
-    if "--bench" in sys.argv[1:]:
+    if "--bench" in sys.argv[1:] or "--bench-variants" in sys.argv[1:]:
         if jax.default_backend() != "tpu":
             print(json.dumps({"bench": "skipped",
                               "note": "--bench needs the real TPU"}),
                   flush=True)
+        elif "--bench-variants" in sys.argv[1:]:
+            bench_e2e_variants()  # just the e2e extract/p99 variant A/B
         else:
             bench_groupnorm()
             bench_percentile()
