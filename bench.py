@@ -20,6 +20,12 @@ the ~30 ms tunnel roundtrip, which a production stream never pays);
 throughput over the north-star target of 30 panoramas/sec @2048 on v5e-8
 (BASELINE.json; the reference repo publishes no numbers of its own — see
 BASELINE.md).
+
+Every successful on-chip measurement is appended to ``BENCH_LEDGER.jsonl``
+(committed); when the tunneled TPU is wedged at capture time, the newest
+ledger entry for the primary metric is replayed as the final line with
+``stale_s`` + provenance instead of a bare error.  The primary metric is
+also re-stated as the LAST stdout line of a fully successful run.
 """
 
 from __future__ import annotations
@@ -55,6 +61,105 @@ TRIALS = int(os.environ.get("BENCH_TRIALS", "5"))
 NORTH_STAR = 30.0  # panoramas/sec @2048 on v5e-8 (BASELINE.json)
 ZOO = os.path.join(os.path.dirname(os.path.abspath(__file__)), "zoo")
 
+# --- on-chip result ledger -------------------------------------------------
+# Every successful TPU measurement is appended (timestamped) to a committed
+# jsonl ledger.  When the tunnel is wedged at capture time (three rounds of
+# driver benches were lost to exactly that), the newest ledger entry for the
+# primary metric is REPLAYED as the final JSON line with explicit staleness
+# provenance instead of emitting a bare error — a stale-but-honest number
+# beats no number (VERDICT r3 next-step #1).
+LEDGER = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "BENCH_LEDGER.jsonl")
+PRIMARY_METRIC = "panoramas_per_sec_2048x1024_fused"
+_primary_rec = None  # set by emit() when the primary metric lands
+
+
+def _utcnow():
+    import datetime
+
+    return datetime.datetime.now(datetime.timezone.utc)
+
+
+def ledger_append(rec) -> None:
+    if jax.default_backend() != "tpu":
+        return  # only real-chip numbers belong in the ledger
+    try:
+        with open(LEDGER, "a") as fp:
+            fp.write(json.dumps(
+                {"ts": _utcnow().strftime("%Y-%m-%dT%H:%M:%SZ"), **rec})
+                + "\n")
+    except OSError:
+        pass
+
+
+def ledger_latest(metric: str):
+    """Newest ledger entry for ``metric`` (file is append-ordered)."""
+    best = None
+    try:
+        with open(LEDGER) as fp:
+            for line in fp:
+                try:
+                    rec = json.loads(line)
+                except ValueError:
+                    continue
+                if rec.get("metric") == metric:
+                    best = rec
+    except OSError:
+        return None
+    return best
+
+
+def emit_stale_replay(reason: str) -> bool:
+    """Print the newest on-chip capture of the primary metric, labeled
+    stale.  Returns False when the ledger has nothing to replay."""
+    import datetime
+
+    rec = ledger_latest(PRIMARY_METRIC)
+    if rec is None:
+        return False
+    ts = rec.get("ts", "")
+    try:
+        then = datetime.datetime.strptime(
+            ts, "%Y-%m-%dT%H:%M:%SZ").replace(
+            tzinfo=datetime.timezone.utc)
+        stale_s = int((_utcnow() - then).total_seconds())
+    except ValueError:
+        stale_s = -1
+    out = {k: v for k, v in rec.items() if k != "ts"}
+    out["stale_s"] = stale_s
+    out["note"] = (f"{reason}; replaying last on-chip capture @{ts}"
+                   f" from BENCH_LEDGER.jsonl")
+    print(json.dumps(out), flush=True)
+    return True
+
+
+def chip_lock():
+    """Serialize chip work against the builder's watch-loop queue jobs.
+
+    Concurrent processes on the one tunneled chip make each other look
+    wedged (r3's driver bench preflight failed WHILE a queued fine-tune was
+    training at 90 img/s — self-contention, not a dead tunnel).  Every chip
+    job flocks /tmp/panodepth_chip.lock; bench waits a bounded time for it
+    and then proceeds regardless (the preflight still protects us)."""
+    import fcntl
+
+    if os.environ.get("PANODEPTH_HAVE_CHIP_LOCK"):
+        return None  # caller (queue runner) already holds the flock
+    try:
+        fp = open("/tmp/panodepth_chip.lock", "w")
+    except OSError:
+        return None
+    deadline = time.time() + float(
+        os.environ.get("BENCH_LOCK_WAIT_S", "600"))
+    while True:
+        try:
+            fcntl.flock(fp, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            return fp  # hold until process exit
+        except OSError:
+            if time.time() >= deadline:
+                return fp  # proceed unlocked; better than forfeiting
+            time.sleep(5.0)
+
 
 def sync(out):
     # NOTE: on tunneled backends (axon) block_until_ready returns before
@@ -76,6 +181,7 @@ def timed_trials(run_reps):
 
 
 def emit(metric, panos_per_sec, spread, extra=None):
+    global _primary_rec
     rec = {
         "metric": metric,
         "value": round(panos_per_sec, 3),
@@ -86,6 +192,9 @@ def emit(metric, panos_per_sec, spread, extra=None):
     if extra:
         rec.update(extra)
     print(json.dumps(rec), flush=True)
+    ledger_append(rec)
+    if metric == PRIMARY_METRIC:
+        _primary_rec = rec
 
 
 def bench_merge(out_width: int, batch: int) -> None:
@@ -186,13 +295,15 @@ def bench_e2e() -> None:
                 return float(np.median(vals))
 
             lat_s, lat_spread = timed_trials(run_lat)
-            print(json.dumps({
+            lat_rec = {
                 "metric": "latency_ms_2048x1024_e2e_single",
                 "value": round(lat_s * 1e3, 2), "unit": "ms/panorama",
                 # north star as latency: 1 pano / 30 per-sec = 33.3 ms;
                 # >1.0 means faster than the target
                 "vs_baseline": round((1000.0 / 30.0) / (lat_s * 1e3), 3),
-                "spread": round(lat_spread, 4), "batch": 1}), flush=True)
+                "spread": round(lat_spread, 4), "batch": 1}
+            print(json.dumps(lat_rec), flush=True)
+            ledger_append(lat_rec)
 
 
 def bench_e2e_4096() -> None:
@@ -296,17 +407,31 @@ def main() -> None:
     import threading
 
     def _abort():
+        # A wedge mid-run: stages that already completed THIS run are in
+        # the ledger; replay the freshest primary capture rather than
+        # discarding the record (exit 0 — the line is labeled stale).
+        if _primary_rec is not None:
+            print(json.dumps(_primary_rec), flush=True)
+            os._exit(0)
+        if emit_stale_replay("tunnel wedged mid-run (watchdog)"):
+            os._exit(0)
         print(json.dumps({
             "metric": "bench_error", "value": 0.0, "unit": "error",
             "vs_baseline": 0.0,
-            "error": "timed out (wedged TPU tunnel?)"}), flush=True)
+            "error": "timed out (wedged TPU tunnel?); ledger empty"}),
+            flush=True)
         os._exit(2)
 
+    _lock = chip_lock()  # released at process exit
+
     if not preflight_retry():
+        if emit_stale_replay("tunnel unreachable (preflight exhausted)"):
+            sys.exit(0)
         print(json.dumps({
             "metric": "bench_error", "value": 0.0, "unit": "error",
             "vs_baseline": 0.0,
-            "error": "TPU tunnel unreachable after preflight retry budget"}),
+            "error": "TPU tunnel unreachable after preflight retry budget;"
+                     " ledger empty"}),
             flush=True)
         sys.exit(2)
 
@@ -329,6 +454,10 @@ def main() -> None:
     bench_e2e()
     bench_e2e_4096()
     watchdog.cancel()
+    # Re-state the primary metric as the FINAL line: drivers that parse the
+    # last JSON line get the headline number, not whichever stage ran last.
+    if _primary_rec is not None:
+        print(json.dumps(_primary_rec), flush=True)
 
 
 if __name__ == "__main__":
