@@ -104,6 +104,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "halves the norms' HBM traffic (+24%% CNN "
                         "throughput, no measured accuracy change); auto = "
                         "bf16 on TPU, f32 elsewhere")
+    p.add_argument("--persp-int8", action="store_true",
+                   help="on-device mode: run the perspective CNN as the "
+                        "int8 post-training-quantized graph (per-channel "
+                        "int8 weights + dynamic activation quant on the "
+                        "MXU's 2x int8 path; models/quantize.py). GN "
+                        "perspective checkpoints only")
     p.add_argument("--p99", default=None,
                    choices=["sort", "topk", "approx"],
                    help="on-device mode: the perspective net's per-image "
@@ -173,6 +179,7 @@ def main(argv=None) -> int:
                 stream=args.stream, jacobi=args.jacobi,
                 extract_dtype=args.extract_dtype,
                 infer_norm=args.infer_norm,
+                persp_int8=args.persp_int8,
                 latency=args.latency, latency_halo=args.latency_halo,
             )
         else:

@@ -113,7 +113,8 @@ def full_pipeline(rgb, persp_model: PerspectiveDepthNet, persp_params,
     return out_u16, abcd, baseline, pmaps
 
 
-def load_model_checkpoint(ckpt_path: str, norm_dtype=None):
+def load_model_checkpoint(ckpt_path: str, norm_dtype=None,
+                          quantize: bool = False):
     """Rebuild a model + params from a train_cli checkpoint + arch sidecar.
 
     Looks for ``<model>.config.json`` next to the checkpoint directory (the
@@ -124,6 +125,10 @@ def load_model_checkpoint(ckpt_path: str, norm_dtype=None):
     normalization layers' HBM traffic — the nets' actual TPU bottleneck —
     at no measured accuracy cost (held-out RMSE 0.029440 f32 vs 0.029437
     bf16 on the zoo perspective weights); the e2e drivers pass it on TPU.
+
+    ``quantize=True`` (GN perspective checkpoints only) converts the
+    trained f32 convs to int8 PTQ (models.quantize) and returns the
+    ``quantized=True`` inference graph — the int8 MXU path.
     """
     import json
     import os
@@ -142,6 +147,10 @@ def load_model_checkpoint(ckpt_path: str, norm_dtype=None):
 
     kind = arch["model"]
     kw = {} if norm_dtype is None else {"norm_dtype": norm_dtype}
+    if quantize and not (kind == "perspective"
+                         and arch.get("variant", "gn") == "gn"):
+        raise ValueError("int8 PTQ supports GN perspective checkpoints "
+                         f"only, got {kind}/{arch.get('variant', 'gn')}")
     if kind == "perspective":
         cls = PerspectiveDepthNet
         if arch.get("variant", "gn") == "nf":
@@ -189,11 +198,17 @@ def load_model_checkpoint(ckpt_path: str, norm_dtype=None):
         # backends, remotely executing) a throwaway init graph
         template = jax.eval_shape(
             functools.partial(model.init, jax.random.PRNGKey(0)), sample)
-        return model, ptrain.load_params_npz(ckpt_path, template), arch
-    tx = ptrain.make_optimizer()
-    template = ptrain.init_state(model, jax.random.PRNGKey(0), sample, tx)
-    state = ptrain.restore_checkpoint(ckpt_path, template)
-    return model, state.params, arch
+        params = ptrain.load_params_npz(ckpt_path, template)
+    else:
+        tx = ptrain.make_optimizer()
+        template = ptrain.init_state(model, jax.random.PRNGKey(0), sample, tx)
+        params = ptrain.restore_checkpoint(ckpt_path, template).params
+    if quantize:
+        from .models.quantize import quantize_perspective_params
+
+        model = model.clone(quantized=True)
+        params = quantize_perspective_params(params)
+    return model, params, arch
 
 
 def build_batched_e2e(persp_model, persp_params, cfg: MergeConfig,
@@ -381,6 +396,7 @@ def run_batch_e2e(rgb_folder: str, gt_folder: str, result_folder: str,
                   profile: bool = False, batch_size: int = 1,
                   stream: str = "auto", jacobi: str = "auto",
                   extract_dtype: str = "auto", infer_norm: str = "auto",
+                  persp_int8: bool = False,
                   latency: bool = False, latency_halo: int = 10,
                   log=print):
     """Fully on-device batch: RGB -> models -> registration -> fusion.
@@ -419,6 +435,10 @@ def run_batch_e2e(rgb_folder: str, gt_folder: str, result_folder: str,
     the norms' HBM traffic is the CNN bottleneck: +24% perspective-net
     throughput, no measured accuracy change), f32 elsewhere.
 
+    ``persp_int8`` — run the perspective CNN as the int8 PTQ graph
+    (models.quantize: per-channel int8 weights, dynamic activation
+    quantization on the int8 MXU path).  GN perspective checkpoints only.
+
     ``latency`` — single-request mode: each panorama's 15-view fan-out is
     sharded over ALL devices via the view-parallel graph
     (:func:`panodepth.parallel.views.build_latency_e2e`) instead of
@@ -438,7 +458,7 @@ def run_batch_e2e(rgb_folder: str, gt_folder: str, result_folder: str,
         infer_norm = "bf16" if jax.default_backend() == "tpu" else "f32"
     norm_dtype = jnp.bfloat16 if infer_norm == "bf16" else None
     persp_model, persp_params, persp_arch = load_model_checkpoint(
-        persp_ckpt, norm_dtype=norm_dtype)
+        persp_ckpt, norm_dtype=norm_dtype, quantize=persp_int8)
     if view_width is None:
         # run the perspective CNN at its training resolution by default —
         # on the zoo weights this is the difference between 4/6 and 6/6

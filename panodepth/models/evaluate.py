@@ -20,7 +20,7 @@ import numpy as np
 
 def evaluate(ckpt_path: str, count: int = 16, seed: int = 77_000,
              align_way: int = 1, batch: int = 4, scene_version="v1",
-             corrupt: bool = False):
+             corrupt: bool = False, int8: bool = False):
     """``corrupt=True`` degrades the rendered RGB with the FIXED
     mid-severity camera-pipeline corruption (ops/corrupt.eval_corruption:
     exposure + noise + JPEG q40) before prediction — ground truth stays
@@ -34,7 +34,7 @@ def evaluate(ckpt_path: str, count: int = 16, seed: int = 77_000,
     from ..e2e import load_model_checkpoint
     from ..ops import corrupt as pcorrupt
 
-    model, params, arch = load_model_checkpoint(ckpt_path)
+    model, params, arch = load_model_checkpoint(ckpt_path, quantize=int8)
     kind = arch["model"]
     rng = np.random.RandomState(seed)
 
@@ -89,7 +89,7 @@ def evaluate(ckpt_path: str, count: int = 16, seed: int = 77_000,
 
     agg = {k: float(np.mean([r[k] for r in recs])) for k in recs[0]}
     agg.update(model=kind, ckpt=ckpt_path, count=count, align_way=align_way,
-               scenes=str(scene_version), corrupt=corrupt)
+               scenes=str(scene_version), corrupt=corrupt, int8=int8)
     return agg
 
 
@@ -106,6 +106,9 @@ def main(argv=None) -> int:
                         "camera-pipeline corruption (exposure + noise + "
                         "JPEG q40) before prediction — measures "
                         "input-domain robustness (gt stays exact)")
+    p.add_argument("--int8", action="store_true",
+                   help="evaluate the int8 PTQ inference graph "
+                        "(models/quantize.py; GN perspective ckpts only)")
     p.add_argument("--platform", default="auto",
                    choices=["auto", "cpu", "tpu"])
     args = p.parse_args(argv)
@@ -115,7 +118,7 @@ def main(argv=None) -> int:
         jax.config.update("jax_platforms", args.platform)
     print(json.dumps(evaluate(args.ckpt, args.count, args.seed,
                               args.align_way, scene_version=args.scenes,
-                              corrupt=args.corrupt)))
+                              corrupt=args.corrupt, int8=args.int8)))
     return 0
 
 

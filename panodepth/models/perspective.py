@@ -31,24 +31,78 @@ def _groups(channels: int, target: int = 32) -> int:
     return math.gcd(channels, target)
 
 
+class QConv(nn.Module):
+    """int8 post-training-quantized conv (inference only).
+
+    Per-OUTPUT-CHANNEL int8 weights with f32 absmax/127 scales (converted
+    offline from a trained f32 checkpoint by :mod:`panodepth.models
+    .quantize`), DYNAMIC per-image symmetric activation quantization (an
+    absmax reduce — no calibration set, no zero-points, padding stays
+    exact since 0 maps to 0), int8xint8 conv with int32 accumulation on
+    the MXU (v5e int8 peak is 2x bf16, 394 TOP/s), dequant straight back
+    to the compute dtype.  The GroupNorm that follows every quantized
+    conv re-normalizes, which is what makes the perspective family
+    PTQ-tolerant.
+    """
+
+    features: int
+    kernel: tuple = (3, 3)
+    strides: tuple = (1, 1)
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = self.kernel
+        cin = x.shape[-1]
+        wq = self.param("kernel_q", nn.initializers.zeros,
+                        (kh, kw, cin, self.features), jnp.int8)
+        scale = self.param("scale", nn.initializers.ones,
+                           (self.features,), jnp.float32)
+        xf = x.astype(jnp.float32)
+        # per-image dynamic scale: one outlier view can't crush the
+        # quantization grid of the other 119 in the e2e fan-out batch
+        sx = jnp.max(jnp.abs(xf), axis=(1, 2, 3), keepdims=True)
+        sx = jnp.maximum(sx, 1e-8) / 127.0
+        xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+        y = jax.lax.conv_general_dilated(
+            xq, wq, window_strides=self.strides, padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32)
+        y = (y.astype(jnp.float32) * (sx * scale)).astype(self.dtype)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,), jnp.float32)
+            y = y + bias.astype(self.dtype)
+        return y
+
+
 class ResBlock(nn.Module):
     features: int
     stride: int = 1
     dtype: jnp.dtype = jnp.bfloat16
     norm_dtype: jnp.dtype = jnp.float32
+    quantized: bool = False  # int8 PTQ convs (inference; models.quantize)
+
+    def _conv(self, features, kernel, strides, use_bias):
+        if self.quantized:
+            return QConv(features, kernel, strides, use_bias=use_bias,
+                         dtype=self.dtype)
+        return nn.Conv(features, kernel, strides, use_bias=use_bias,
+                       dtype=self.dtype)
 
     @nn.compact
     def __call__(self, x):
         gn = lambda **kw: GroupNorm(num_groups=_groups(self.features),
                                     dtype=self.norm_dtype, **kw)
-        y = nn.Conv(self.features, (3, 3), (self.stride, self.stride),
-                    use_bias=False, dtype=self.dtype)(x)
+        y = self._conv(self.features, (3, 3), (self.stride, self.stride),
+                       False)(x)
         y = gn(fuse_relu=True)(y)
-        y = nn.Conv(self.features, (3, 3), use_bias=False, dtype=self.dtype)(y)
+        y = self._conv(self.features, (3, 3), (1, 1), False)(y)
         y = gn()(y)
         if x.shape[-1] != self.features or self.stride != 1:
-            x = nn.Conv(self.features, (1, 1), (self.stride, self.stride),
-                        use_bias=False, dtype=self.dtype)(x)
+            x = self._conv(self.features, (1, 1),
+                           (self.stride, self.stride), False)(x)
             x = gn()(x)
         return nn.relu(y + x)
 
@@ -59,18 +113,22 @@ class FusionBlock(nn.Module):
     features: int
     dtype: jnp.dtype = jnp.bfloat16
     norm_dtype: jnp.dtype = jnp.float32
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, x, skip=None):
         b, h, w, c = x.shape
+        conv = (lambda *a, **kw: QConv(*a, dtype=self.dtype, **kw)) \
+            if self.quantized else \
+            (lambda *a, **kw: nn.Conv(*a, dtype=self.dtype, **kw))
         x = jax.image.resize(x, (b, h * 2, w * 2, c), "nearest")
-        x = nn.Conv(self.features, (3, 3), dtype=self.dtype)(x)
+        x = conv(self.features, (3, 3))(x)
         if skip is not None:
-            skip = nn.Conv(self.features, (3, 3), use_bias=False,
-                           dtype=self.dtype)(skip)
+            skip = conv(self.features, (3, 3), use_bias=False)(skip)
             x = x + skip
         return ResBlock(self.features, dtype=self.dtype,
-                        norm_dtype=self.norm_dtype)(x)
+                        norm_dtype=self.norm_dtype,
+                        quantized=self.quantized)(x)
 
 
 class PerspectiveDepthNet(nn.Module):
@@ -91,12 +149,19 @@ class PerspectiveDepthNet(nn.Module):
     # params stay f32 either way, so checkpoints load under both; the e2e
     # drivers pass bf16 on TPU (load_model_checkpoint ``norm_dtype``).
     norm_dtype: jnp.dtype = jnp.float32
+    # int8 PTQ inference graph: every conv except the 1x1 output head runs
+    # as a QConv (int8 MXU + dynamic activation quant).  Params for this
+    # mode come from models.quantize.quantize_perspective_params; training
+    # always uses the f32 graph.
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, x):
+        conv = (lambda *a, **kw: QConv(*a, dtype=self.dtype, **kw)) \
+            if self.quantized else \
+            (lambda *a, **kw: nn.Conv(*a, dtype=self.dtype, **kw))
         x = x.astype(self.dtype)
-        x = nn.Conv(self.widths[0] // 2, (7, 7), (2, 2), use_bias=False,
-                    dtype=self.dtype)(x)
+        x = conv(self.widths[0] // 2, (7, 7), (2, 2), use_bias=False)(x)
         x = GroupNorm(num_groups=_groups(x.shape[-1]),
                       dtype=self.norm_dtype, fuse_relu=True)(x)
 
@@ -104,23 +169,25 @@ class PerspectiveDepthNet(nn.Module):
         for i, (blocks, width) in enumerate(zip(self.stage_sizes, self.widths)):
             for b in range(blocks):
                 x = ResBlock(width, stride=2 if b == 0 else 1,
-                             dtype=self.dtype, norm_dtype=self.norm_dtype)(x)
+                             dtype=self.dtype, norm_dtype=self.norm_dtype,
+                             quantized=self.quantized)(x)
             skips.append(x)
 
         # decoder: deepest feature up through the skips
-        y = nn.Conv(self.decoder_width, (3, 3), use_bias=False,
-                    dtype=self.dtype)(skips[-1])
+        y = conv(self.decoder_width, (3, 3), use_bias=False)(skips[-1])
         for skip in reversed(skips[:-1]):
             y = FusionBlock(self.decoder_width, dtype=self.dtype,
-                            norm_dtype=self.norm_dtype)(y, skip)
+                            norm_dtype=self.norm_dtype,
+                            quantized=self.quantized)(y, skip)
         y = FusionBlock(self.decoder_width, dtype=self.dtype,
-                        norm_dtype=self.norm_dtype)(y)  # to H/2
+                        norm_dtype=self.norm_dtype,
+                        quantized=self.quantized)(y)  # to H/2
 
-        y = nn.Conv(self.decoder_width // 2, (3, 3), dtype=self.dtype)(y)
+        y = conv(self.decoder_width // 2, (3, 3))(y)
         y = nn.relu(y)
         b, h, w, c = y.shape
         y = jax.image.resize(y, (b, h * 2, w * 2, c), "bilinear")
-        y = nn.Conv(32, (3, 3), dtype=self.dtype)(y)
+        y = conv(32, (3, 3))(y)
         y = nn.relu(y)
         # output head: softplus (a dead output relu would zero every
         # gradient permanently), with the bias initialized so the initial

@@ -39,10 +39,14 @@ def sync(x):
 def main():
     from panodepth.e2e import load_model_checkpoint
 
+    int8 = "--int8" in sys.argv
+    if int8:
+        sys.argv.remove("--int8")
     ckpt = sys.argv[1]
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     nd = jnp.bfloat16 if jax.default_backend() == "tpu" else None
-    model, params, arch = load_model_checkpoint(ckpt, norm_dtype=nd)
+    model, params, arch = load_model_checkpoint(ckpt, norm_dtype=nd,
+                                                quantize=int8)
     if arch["model"] == "perspective":
         s = arch.get("view_size", 256)
         shape = (batch, s, s, 3)
@@ -74,6 +78,7 @@ def main():
     print(json.dumps({
         "backend": jax.default_backend(),
         "model": arch["model"], "ckpt": os.path.basename(ckpt),
+        "int8": int8,
         "batch": batch, "input": list(shape),
         "fwd_gflops_per_img": round(flops / batch / 1e9, 2),
         "img_per_s": round(1.0 / per, 1),
