@@ -37,10 +37,13 @@ def main():
     rgbs = jnp.asarray(rng.randint(0, 256, (batch, 1024, 2048, 3))
                        .astype(np.uint8))
     nd = jnp.bfloat16 if jax.default_backend() == "tpu" else None
+    int8 = bool(int(os.environ.get("BENCH_E2E_INT8", "0")))
     res = {"backend": jax.default_backend(), "batch": batch,
-           "extract": os.environ.get("BENCH_E2E_EXTRACT", "auto")}
+           "extract": os.environ.get("BENCH_E2E_EXTRACT", "auto"),
+           "persp_int8": int8}
     for pi, (persp, base) in enumerate(pairs):
-        pm, pp, pa = load_model_checkpoint(persp, norm_dtype=nd)
+        pm, pp, pa = load_model_checkpoint(persp, norm_dtype=nd,
+                                           quantize=int8)
         bm, bp, ba = load_model_checkpoint(base, norm_dtype=nd)
         fn, _, _ = build_batched_e2e(
             pm, pp, cfg, view_width=pa.get("view_size", 512),
