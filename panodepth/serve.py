@@ -146,11 +146,15 @@ def export_merge(path: str, cfg: MergeConfig, batch: int,
 
 def export_e2e(path: str, cfg: MergeConfig, batch: int, persp_ckpt: str,
                baseline_ckpt: str, rgb_shape=(1024, 2048),
-               view_width: Optional[int] = None):
+               view_width: Optional[int] = None, persp_int8: bool = False):
     """Serialize the batched on-device e2e graph (uint8 RGB -> u16 pano).
 
     Model parameters are baked into the artifact as constants — the serving
-    process needs no checkpoints, no model code, no flax.
+    process needs no checkpoints, no model code, no flax.  ``persp_int8``
+    bakes the int8 PTQ perspective graph instead (models/quantize.py):
+    int8 weights quarter the artifact's perspective-param payload and the
+    graph is export-safe by construction (conv/round/clip only — none of
+    the LAPACK FFI calls that segfault under deserialized jax.export).
     """
     import jax.numpy as jnp
 
@@ -159,7 +163,7 @@ def export_e2e(path: str, cfg: MergeConfig, batch: int, persp_ckpt: str,
     jax = _jax()
     nd = jnp.bfloat16 if jax.default_backend() == "tpu" else None
     persp_model, persp_params, persp_arch = load_model_checkpoint(
-        persp_ckpt, norm_dtype=nd)
+        persp_ckpt, norm_dtype=nd, quantize=persp_int8)
     base_model, base_params, base_arch = load_model_checkpoint(
         baseline_ckpt, norm_dtype=nd)
     vw = view_width or persp_arch.get("view_size", 512)
@@ -170,7 +174,8 @@ def export_e2e(path: str, cfg: MergeConfig, batch: int, persp_ckpt: str,
     rgbs = jnp.zeros((batch,) + tuple(rgb_shape) + (3,), jnp.uint8)
     return _export_jit(fn, (rgbs,), "e2e",
                        dict(out_width=cfg.out_width, batch=batch,
-                            layout=cfg.layout_name, view_width=vw), path)
+                            layout=cfg.layout_name, view_width=vw,
+                            persp_int8=persp_int8), path)
 
 
 def _parse_hw(s: str):
@@ -205,6 +210,9 @@ def main(argv=None) -> int:
     pe.add_argument("--persp-ckpt", required=True)
     pe.add_argument("--baseline-ckpt", required=True)
     pe.add_argument("--view-width", type=int, default=None)
+    pe.add_argument("--persp-int8", action="store_true",
+                    help="bake the int8 PTQ perspective graph "
+                         "(models/quantize.py) into the artifact")
 
     pr = sub.add_parser("run")
     pr.add_argument("artifact")
@@ -254,7 +262,7 @@ def main(argv=None) -> int:
         cfg = MergeConfig(out_width=args.out_width, layout_name=args.layout)
         export_e2e(args.out, cfg, args.batch, args.persp_ckpt,
                    args.baseline_ckpt, rgb_shape=_parse_hw(args.rgb_shape),
-                   view_width=args.view_width)
+                   view_width=args.view_width, persp_int8=args.persp_int8)
         print(f"[serve] wrote {args.out} (+.meta.json)")
     elif args.cmd == "describe":
         print(f"[serve] {load(args.artifact).describe()}")
