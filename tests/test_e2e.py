@@ -354,3 +354,55 @@ def test_batched_e2e_new_baseline_families():
         assert out_u16.shape == (1, E2E_CFG.out_height, E2E_CFG.out_width)
         assert out_u16.dtype == jnp.uint16
         assert np.isfinite(np.asarray(baselines)).all()
+
+
+def test_run_batch_e2e_persp_int8(tmp_path):
+    """--persp-int8 drives the int8 PTQ perspective graph through the full
+    file-level e2e driver; outputs stay close to the f32 run (the GN
+    re-normalization bounds PTQ noise) and metrics are finite."""
+    import json
+
+    from panodepth import io as pio
+    from panodepth.e2e import run_batch_e2e
+    from panodepth.models import train as ptrain
+
+    s = 0.125
+    model = PerspectiveDepthNet(
+        widths=tuple(max(8, int(w * s)) for w in (64, 128, 256, 512)),
+        decoder_width=max(16, int(128 * s)))
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    ckpt_dir = tmp_path / "ck"
+    ckpt_dir.mkdir()
+    persp_ckpt = str(ckpt_dir / "perspective_final.params.npz")
+    ptrain.save_params_npz(persp_ckpt, params)
+    (ckpt_dir / "perspective.config.json").write_text(json.dumps(
+        dict(model="perspective", width_scale=s, view_size=64,
+             pano_width=64)))
+
+    rng = np.random.RandomState(11)
+    for d in ("rgb", "gt", "bl"):
+        (tmp_path / d).mkdir()
+    for i in range(2):
+        pio.save_jpg(str(tmp_path / "rgb" / f"p{i}.jpg"),
+                     rng.rand(32, 64, 3).astype(np.float32))
+        pio.save_png16(str(tmp_path / "gt" / f"p{i}.png"),
+                       (rng.rand(32, 64) * 60000).astype(np.uint16))
+        pio.save_png16(str(tmp_path / "bl" / f"p{i}.depth.png"),
+                       (rng.rand(32, 64) * 60000 + 2000).astype(np.uint16))
+
+    outs = {}
+    for tag, int8 in (("f32", False), ("int8", True)):
+        res = tmp_path / f"res_hohonet_{tag}"
+        mets = run_batch_e2e(
+            str(tmp_path / "rgb"), str(tmp_path / "gt"), str(res),
+            persp_ckpt, cfg=E2E_CFG, baseline_folder=str(tmp_path / "bl"),
+            view_width=64, batch_size=1, persp_int8=int8,
+            log=lambda *a: None)
+        assert len(mets) == 2
+        assert all(np.isfinite(m.mse_result) for m in mets)
+        outs[tag] = [np.asarray(pio.load_image01(str(res / f"p{i}.png")))
+                     for i in range(2)]
+    for a, b in zip(outs["f32"], outs["int8"]):
+        # same scenes through both graphs: registration + fusion damp the
+        # CNN-side PTQ noise; require close agreement in the 0~1 encoding
+        assert np.sqrt(np.mean((a - b) ** 2)) < 0.02
