@@ -128,6 +128,36 @@ def check_packed_sampling() -> bool:
     return ok
 
 
+def check_int8_conv() -> bool:
+    """int8 x int8 -> int32 conv (the QConv inner op) is integer-EXACT on
+    the device: compare against a numpy patch-einsum oracle bit-for-bit
+    (3*3*64 * 127^2 ~ 9.3e6 per tap, far inside int32)."""
+    from jax import lax
+
+    rng = np.random.RandomState(5)
+    n, h, w, ci, co = 2, 16, 16, 64, 32
+    x = rng.randint(-127, 128, (n, h, w, ci)).astype(np.int8)
+    k = rng.randint(-127, 128, (3, 3, ci, co)).astype(np.int8)
+
+    y = lax.conv_general_dilated(
+        jnp.asarray(x), jnp.asarray(k), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32)
+    got = np.asarray(jax.device_get(y), np.int64)
+
+    xp = np.pad(x.astype(np.int64), ((0, 0), (1, 1), (1, 1), (0, 0)))
+    want = np.zeros((n, h, w, co), np.int64)
+    for dy in range(3):
+        for dx in range(3):
+            want += np.einsum("nhwc,co->nhwo",
+                              xp[:, dy:dy + h, dx:dx + w, :],
+                              k[dy, dx].astype(np.int64))
+    d = float(np.max(np.abs(got - want)))
+    ok = d == 0.0
+    emit("int8_conv_int32_accum_exact", ok, d)
+    return ok
+
+
 from bench import sync as _sync  # noqa: E402  (repo root is on sys.path)
 # the tunnel-safe host-readback fence lives in bench.py — one copy only,
 # so a fix to the fence semantics applies to both benches at once
@@ -295,6 +325,7 @@ def main() -> int:
     ok &= check_jacobi()
     ok &= check_groupnorm()
     ok &= check_packed_sampling()
+    ok &= check_int8_conv()
     if "--bench" in sys.argv[1:] or "--bench-variants" in sys.argv[1:]:
         if jax.default_backend() != "tpu":
             print(json.dumps({"bench": "skipped",
