@@ -80,6 +80,13 @@ def build_parser():
                         "ops/corrupt.py) — hardens the models against the "
                         "reference's real-photo JPEG inputs "
                         "(Main.cpp:320); runs on-device, targets untouched")
+    p.add_argument("--corrupt-prob", type=float, default=1.0, metavar="S",
+                   help="with --corrupt: scale the per-stage application "
+                        "probabilities (p_jpeg/p_noise/p_photo) by S — "
+                        "S=0.5 leaves ~half the stream clean, trading "
+                        "robustness gain against clean-set regression "
+                        "(the r4 full-strength fine-tune cost 4.3%% clean "
+                        "v1 RMSE)")
     p.add_argument("--ema", type=float, default=None, metavar="DECAY",
                    help="track an exponential moving average of the params "
                         "(e.g. 0.999) inside the optimizer state; the final "
@@ -249,7 +256,12 @@ def main(argv=None) -> int:
         if corrupt:
             from .ops import corrupt as pcorrupt
 
-            batches = pcorrupt.corrupt_batches(batches, seed)
+            s = args.corrupt_prob
+            ccfg = pcorrupt.CorruptConfig()._replace(
+                p_jpeg=min(1.0, pcorrupt.CorruptConfig().p_jpeg * s),
+                p_noise=min(1.0, pcorrupt.CorruptConfig().p_noise * s),
+                p_photo=min(1.0, pcorrupt.CorruptConfig().p_photo * s))
+            batches = pcorrupt.corrupt_batches(batches, seed, cfg=ccfg)
         return batches
 
     s = args.width_scale
