@@ -88,14 +88,16 @@ def build_parser() -> argparse.ArgumentParser:
                         "their native width (u8/u16) and normalize there; "
                         "auto = TPU only (1 f32 ulp caveat, see merge_many)")
     p.add_argument("--extract-dtype", default="auto",
-                   choices=["auto", "packed", "packed16", "pair16", "bf16",
-                            "f32"],
+                   choices=["auto", "packed", "packed16", "pair16",
+                            "pair16d", "bf16", "f32"],
                    help="on-device mode view-extraction gather table: "
                         "packed u32 (fastest exact mode for 8-bit sources, "
                         "quantizes wider ones), packed16 (RGB565 — half the "
                         "gathered bytes again, 5/6/5-bit quantized input), "
                         "pair16 (RGB565 pixel pairs in u32 — half the "
                         "GATHER COUNT, 5/6/5-bit quantized input), "
+                        "pair16d (pair16 with Bayer-dithered tables: "
+                        "banding -> zero-mean noise), "
                         "bf16, or f32; auto = packed "
                         "on TPU for streamed uint8 inputs, f32 otherwise")
     p.add_argument("--infer-norm", default="auto",

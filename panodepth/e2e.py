@@ -305,11 +305,13 @@ def build_batched_e2e(persp_model, persp_params, cfg: MergeConfig,
             src = jax.vmap(pack_rgb565_u16)(
                 rgbs if rgbs.dtype == jnp.uint8 else rgbs01)
             sampler = sample_equirect_bilinear_packed565
-        elif ex_mode == "pair16":
+        elif ex_mode in ("pair16", "pair16d"):
             from .ops.sampling import (pack_rgb565_pair_u32,
                                        sample_equirect_bilinear_packed565pair)
 
-            src = jax.vmap(pack_rgb565_pair_u32)(
+            pack = functools.partial(pack_rgb565_pair_u32,
+                                     dither=ex_mode == "pair16d")
+            src = jax.vmap(pack)(
                 rgbs if rgbs.dtype == jnp.uint8 else rgbs01)
             sampler = sample_equirect_bilinear_packed565pair
         elif ex_mode == "bf16":

@@ -176,7 +176,16 @@ def sample_equirect_bilinear_packed(packed, azimuth, zenith):
     return (top * (1 - wy) + bot * wy) * (1.0 / 255.0)
 
 
-def pack_rgb565_u16(rgb):
+def _bayer_offsets(h, w):
+    """Per-pixel ordered-dither offsets in [-0.5, 0.5): the classic 4x4
+    Bayer matrix tiled over (h, w).  Zero-mean over every 4x4 block."""
+    base = jnp.asarray([[0, 8, 2, 10], [12, 4, 14, 6],
+                        [3, 11, 1, 9], [15, 7, 13, 5]], jnp.float32)
+    t = jnp.tile(base, ((h + 3) // 4, (w + 3) // 4))[:h, :w]
+    return (t + 0.5) / 16.0 - 0.5
+
+
+def pack_rgb565_u16(rgb, dither: bool = False):
     """(H, W, 3) RGB (uint8, or f32 0~1) -> (H, W) uint16 in RGB565.
 
     Half the gathered bytes of :func:`pack_rgb_u32` (TPU gather cost
@@ -184,13 +193,34 @@ def pack_rgb565_u16(rgb):
     quantizing the CNN's RGB input to 5/6/5 bits per channel
     (round-to-nearest; max channel error 1/62 ~ 4 u8 LSBs).  Opt-in via
     ``--extract-dtype packed16`` — accuracy must be A/B'd per model.
+
+    ``dither=True`` adds a per-pixel ordered (Bayer 4x4) offset before
+    rounding — per-channel phase-shifted so the three channels' dither
+    patterns decorrelate.  The quantization error becomes zero-mean
+    spatial noise instead of banded contours on smooth gradients (the
+    failure mode the r4 pair16 CLI proof caught on a smooth-walled v1
+    scene: false contours read as depth structure by the perspective
+    CNN).  Bilinear taps then average adjacent dither phases, roughly
+    halving the effective error again.  Worst-case per-pixel channel
+    error grows from ~half a 565 step to ~one step (~8 u8 LSBs).
     """
     if rgb.dtype == jnp.uint8:
         rgb = rgb.astype(jnp.float32) * (1.0 / 255.0)
     rgb = jnp.clip(rgb.astype(jnp.float32), 0.0, 1.0)
-    r = jnp.round(rgb[..., 0] * 31.0).astype(jnp.uint16)
-    g = jnp.round(rgb[..., 1] * 63.0).astype(jnp.uint16)
-    b = jnp.round(rgb[..., 2] * 31.0).astype(jnp.uint16)
+    if dither:
+        h, w = rgb.shape[0], rgb.shape[1]
+        t = _bayer_offsets(h, w)
+        tr, tg, tb = (t, jnp.roll(t, (2, 2), (0, 1)),
+                      jnp.roll(t, (1, 3), (0, 1)))
+        r = jnp.clip(jnp.round(rgb[..., 0] * 31.0 + tr), 0, 31)
+        g = jnp.clip(jnp.round(rgb[..., 1] * 63.0 + tg), 0, 63)
+        b = jnp.clip(jnp.round(rgb[..., 2] * 31.0 + tb), 0, 31)
+        r, g, b = (r.astype(jnp.uint16), g.astype(jnp.uint16),
+                   b.astype(jnp.uint16))
+    else:
+        r = jnp.round(rgb[..., 0] * 31.0).astype(jnp.uint16)
+        g = jnp.round(rgb[..., 1] * 63.0).astype(jnp.uint16)
+        b = jnp.round(rgb[..., 2] * 31.0).astype(jnp.uint16)
     return (r << 11) | (g << 5) | b
 
 
@@ -219,7 +249,7 @@ def _decode565(v):
                       (v & 0x1F) * (1.0 / 31.0)], -1).astype(jnp.float32)
 
 
-def pack_rgb565_pair_u32(rgb):
+def pack_rgb565_pair_u32(rgb, dither: bool = False):
     """(H, W, 3) RGB -> (H, W) uint32: RGB565 of pixel x in the high 16
     bits and of pixel (x+1) % W (azimuth wrap baked in) in the low 16.
 
@@ -230,9 +260,10 @@ def pack_rgb565_pair_u32(rgb):
     (~6.9 G elem/s generic XLA gather, PERF.md), so halving the count is
     the lever the byte-narrowing modes can't reach.  Same table bytes as
     pack_rgb_u32 (each pixel stored twice at half precision); same 5/6/5
-    quantization trade as packed16 (opt-in, A/B per model).
+    quantization trade as packed16 (opt-in, A/B per model; ``dither``
+    trades banding for zero-mean noise — see :func:`pack_rgb565_u16`).
     """
-    p = pack_rgb565_u16(rgb).astype(jnp.uint32)
+    p = pack_rgb565_u16(rgb, dither=dither).astype(jnp.uint32)
     return (p << 16) | jnp.roll(p, -1, axis=1)
 
 

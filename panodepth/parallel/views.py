@@ -219,12 +219,13 @@ def build_latency_e2e(persp_model, persp_params, cfg: MergeConfig,
 
             src = pack_rgb565_u16(rgb if rgb.dtype == jnp.uint8 else rgb01)
             sampler = sample_equirect_bilinear_packed565
-        elif ex_mode == "pair16":
+        elif ex_mode in ("pair16", "pair16d"):
             from ..ops.sampling import (pack_rgb565_pair_u32,
                                         sample_equirect_bilinear_packed565pair)
 
             src = pack_rgb565_pair_u32(rgb if rgb.dtype == jnp.uint8
-                                       else rgb01)
+                                       else rgb01,
+                                       dither=ex_mode == "pair16d")
             sampler = sample_equirect_bilinear_packed565pair
         elif ex_mode == "bf16":
             src = rgb01.astype(jnp.bfloat16)

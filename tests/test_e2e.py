@@ -329,6 +329,16 @@ def test_batched_e2e_packed16_runs_and_is_close():
     out_pair, _ = full(rgbs)
     np.testing.assert_array_equal(np.asarray(out_pair), outs["packed16"])
 
+    # pair16d (Bayer-dithered tables) runs the same graph shape; its
+    # outputs differ from pair16 only through the +-1-step dither
+    full, _, _ = build_batched_e2e(
+        persp, pp, E2E_CFG, view_width=64, base_model=base,
+        base_params=bp, base_w=64, extract_dtype="pair16d")
+    out_paird, _ = full(rgbs)
+    assert out_paird.shape == out_pair.shape
+    assert np.abs(np.asarray(out_paird).astype(np.int64)
+                  - outs["packed16"]).mean() < 2000.0
+
 
 def test_batched_e2e_new_baseline_families():
     """BiFuseNet / SliceNet as the on-device panoramic baseline through

@@ -163,3 +163,43 @@ def test_pair16_bitwise_matches_packed565():
     got = np.asarray(sampling.sample_equirect_bilinear_packed565pair(
         pair, azi, zen))
     np.testing.assert_array_equal(got, ref)
+
+
+def test_dithered_565_zero_mean_and_bound():
+    """Bayer-dithered RGB565: per-channel error is (a) bounded by ~one
+    565 step per pixel and (b) near-zero-mean over aligned 4x4 blocks on
+    constant inputs (banding converted to zero-mean noise)."""
+    from panodepth.ops.sampling import pack_rgb565_u16
+
+    # constant mid-gradient values that fall BETWEEN 565 codes (the
+    # banding case): every undithered pixel rounds the same way
+    for v in (0.317, 0.5161, 0.713):
+        rgb = jnp.full((8, 8, 3), v, jnp.float32)
+        p = np.asarray(pack_rgb565_u16(rgb, dither=True))
+        r = (p >> 11) & 0x1F
+        g = (p >> 5) & 0x3F
+        b = p & 0x1F
+        for ch, scale in ((r, 31.0), (g, 63.0), (b, 31.0)):
+            err = ch.astype(np.float64) / scale - v
+            assert np.max(np.abs(err)) <= 1.0 / scale + 1e-9
+            # 4x4-block mean error ~ a quarter step (vs a potential half
+            # step of coherent bias without dither)
+            blocks = err.reshape(2, 4, 2, 4).mean((1, 3))
+            assert np.max(np.abs(blocks)) <= 0.3 / scale
+        # dither actually fires: constant input, non-constant codes
+        assert len(np.unique(p)) > 1
+
+    # undithered stays bit-stable (the exact-rounding contract)
+    p0 = np.asarray(pack_rgb565_u16(jnp.full((8, 8, 3), 0.317), dither=False))
+    assert len(np.unique(p0)) == 1
+
+
+def test_pair16_dither_matches_dithered_565():
+    from panodepth.ops.sampling import pack_rgb565_pair_u32, pack_rgb565_u16
+
+    rng = np.random.RandomState(3)
+    rgb = jnp.asarray(rng.rand(16, 32, 3).astype(np.float32))
+    pair = np.asarray(pack_rgb565_pair_u32(rgb, dither=True))
+    single = np.asarray(pack_rgb565_u16(rgb, dither=True)).astype(np.uint32)
+    np.testing.assert_array_equal(pair >> 16, single)
+    np.testing.assert_array_equal(pair & 0xFFFF, np.roll(single, -1, 1))
