@@ -106,6 +106,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "halves the norms' HBM traffic (+24%% CNN "
                         "throughput, no measured accuracy change); auto = "
                         "bf16 on TPU, f32 elsewhere")
+    p.add_argument("--base-width", type=int, default=None,
+                   help="on-device mode: run the panoramic baseline CNN at "
+                        "this equirect width instead of its training width "
+                        "(fully-conv families only; 256 quarters its cost "
+                        "— A/B accuracy per deployment)")
     p.add_argument("--persp-int8", action="store_true",
                    help="on-device mode: run the perspective CNN as the "
                         "int8 post-training-quantized graph (per-channel "
@@ -181,7 +186,7 @@ def main(argv=None) -> int:
                 stream=args.stream, jacobi=args.jacobi,
                 extract_dtype=args.extract_dtype,
                 infer_norm=args.infer_norm,
-                persp_int8=args.persp_int8,
+                persp_int8=args.persp_int8, base_width=args.base_width,
                 latency=args.latency, latency_halo=args.latency_halo,
             )
         else:

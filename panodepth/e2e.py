@@ -398,7 +398,7 @@ def run_batch_e2e(rgb_folder: str, gt_folder: str, result_folder: str,
                   profile: bool = False, batch_size: int = 1,
                   stream: str = "auto", jacobi: str = "auto",
                   extract_dtype: str = "auto", infer_norm: str = "auto",
-                  persp_int8: bool = False,
+                  persp_int8: bool = False, base_width=None,
                   latency: bool = False, latency_halo: int = 10,
                   log=print):
     """Fully on-device batch: RGB -> models -> registration -> fusion.
@@ -473,7 +473,16 @@ def run_batch_e2e(rgb_folder: str, gt_folder: str, result_folder: str,
             baseline_ckpt, norm_dtype=norm_dtype)
         # fixed-width families (hohonet's column decoder) must run at their
         # training resolution; the 0~1 baseline works at any size downstream
-        base_w = base_arch.get("pano_width", 512)
+        # fixed-width families (hohonet's column decoder) must run at their
+        # training resolution; the fully-conv families accept overrides
+        # (e.g. --base-width 256 quarters the baseline CNN's cost — the
+        # fused output re-imposes the views' detail either way; accuracy
+        # must be proofed per deployment)
+        base_w = base_width or base_arch.get("pano_width", 512)
+        if base_width and base_arch.get("model") in ("hohonet", "slicenet"):
+            raise SystemExit(f"--base-width: {base_arch['model']} has a "
+                             f"fixed-width decoder; run it at its training "
+                             f"width {base_arch.get('pano_width', 512)}")
 
     if latency:
         from .parallel.views import build_latency_e2e, make_vp_mesh

@@ -48,7 +48,8 @@ def main():
         fn, _, _ = build_batched_e2e(
             pm, pp, cfg, view_width=pa.get("view_size", 512),
             base_model=bm, base_params=bp,
-            base_w=ba.get("pano_width", 512),
+            base_w=int(os.environ.get("BENCH_E2E_BASEW", "0"))
+            or ba.get("pano_width", 512),
             extract_dtype=os.environ.get("BENCH_E2E_EXTRACT", "auto"))
         sync(fn(rgbs)[0])
         vals = []
