@@ -169,9 +169,12 @@ def load_model_checkpoint(ckpt_path: str, norm_dtype=None,
     elif kind == "bifuse":
         from .models.bifuse import BiFuseNet
 
+        # same checkpoint, TPU-fast projection graph (nearest-tap feature
+        # gathers) — A/B'd via env until the proof flips the default
+        proj = os.environ.get("PANODEPTH_BIFUSE_PROJ", "bilinear")
         model = BiFuseNet(
             widths=tuple(max(8, int(w * s)) for w in (32, 64, 128, 256)),
-            **kw)
+            proj=proj, **kw)
         pw = arch.get("pano_width", 512)
         sample = jnp.zeros((1, pw // 2, pw, 3))
     elif kind == "slicenet":
@@ -182,10 +185,20 @@ def load_model_checkpoint(ckpt_path: str, norm_dtype=None,
             slice_dim=max(32, int(256 * s)), **kw)
         pw = arch.get("pano_width", 512)
         sample = jnp.zeros((1, pw // 2, pw, 3))
+    elif kind == "fastpano":
+        from .models.fastpano import FastPanoNet
+
+        model = FastPanoNet(
+            widths=tuple(max(8, int(w * s)) for w in (48, 96, 192, 384)),
+            decoder_width=max(16, int(96 * s)), **kw)
+        pw = arch.get("pano_width", 512)
+        sample = jnp.zeros((1, pw // 2, pw, 3))
     else:
         cls = PanoBaselineNet
         if arch.get("variant", "gn") == "nf":
             from .models.panoramic import NFPanoBaselineNet as cls
+        if cls is PanoBaselineNet:
+            kw["proj"] = os.environ.get("PANODEPTH_PANO_PROJ", "bilinear")
         model = cls(
             widths=tuple(max(8, int(w * s)) for w in (32, 64, 128, 256)),
             **kw)

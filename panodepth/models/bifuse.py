@@ -45,6 +45,7 @@ class BiProjFusion(nn.Module):
     features: int
     dtype: jnp.dtype = jnp.bfloat16
     norm_dtype: jnp.dtype = jnp.float32
+    taps: str = "bilinear"  # feature-projection taps ("nearest" = fast)
 
     @nn.compact
     def __call__(self, e, c, batch: int):
@@ -52,8 +53,10 @@ class BiProjFusion(nn.Module):
         eh, ew = e.shape[1], e.shape[2]
         fs = c.shape[1]
         c6 = c.reshape(batch, 6, fs, fs, f)
-        c2e = jax.vmap(lambda fc: cubemap_to_equirect(fc, eh, ew))(c6)
-        e2c = jax.vmap(lambda img: equirect_to_cubemap(img, fs))(e)
+        c2e = jax.vmap(
+            lambda fc: cubemap_to_equirect(fc, eh, ew, self.taps))(c6)
+        e2c = jax.vmap(
+            lambda img: equirect_to_cubemap(img, fs, self.taps))(e)
         e2c = e2c.reshape(batch * 6, fs, fs, f)
 
         def gated(own, other, name):
@@ -105,11 +108,23 @@ class BiFuseNet(nn.Module):
     # f32 for training; bf16 at inference halves the normalization layers'
     # HBM traffic (see PerspectiveDepthNet.norm_dtype)
     norm_dtype: jnp.dtype = jnp.float32
+    # "fast" = TPU inference path for the SAME checkpoint (no parameter
+    # change): nearest-tap feature projections at every fusion level (1
+    # gather per pixel instead of 4) and the final cube-decoder projection
+    # gathered at half resolution + dense bilinear 2x upsample.  The
+    # gathers are this family's measured bottleneck (1.2 % MFU, PERF.md);
+    # sub-pixel interpolation of LEARNED features is not load-bearing —
+    # accuracy adjudicated by the 12-scene proof before any default flip.
+    proj: str = "bilinear"
 
     @nn.compact
     def __call__(self, rgb):
         b, h, w, _ = rgb.shape
+        fastp = self.proj == "fast"
+        taps = "nearest" if fastp else "bilinear"
         x = rgb.astype(self.dtype)
+        # the RGB image projection stays bilinear (cheap C=3 gathers; the
+        # encoder stem sees real pixels, not learned features)
         cube = jax.vmap(lambda img: equirect_to_cubemap(img, w // 4))(x)
         cube = cube.reshape(b * 6, w // 4, w // 4, 3)
 
@@ -121,7 +136,8 @@ class BiFuseNet(nn.Module):
             c = ResBlock(width, stride=2, dtype=self.dtype,
                          norm_dtype=self.norm_dtype)(c)
             e, c = BiProjFusion(width, dtype=self.dtype,
-                                norm_dtype=self.norm_dtype)(e, c, b)
+                                norm_dtype=self.norm_dtype,
+                                taps=taps)(e, c, b)
             equi_skips.append(e)
             cube_skips.append(c)
 
@@ -130,7 +146,13 @@ class BiFuseNet(nn.Module):
         yc = _Decoder(dtype=self.dtype,
                       norm_dtype=self.norm_dtype)(cube_skips)  # (B*6, S, S, 32)
         yc = yc.reshape(b, 6, yc.shape[1], yc.shape[2], yc.shape[3])
-        yc_e = jax.vmap(lambda fc: cubemap_to_equirect(fc, h, w))(yc)
+        if fastp:
+            yc_e = jax.vmap(lambda fc: cubemap_to_equirect(
+                fc, h // 2, w // 2, "nearest"))(yc)
+            yc_e = jax.image.resize(
+                yc_e, (b, h, w, yc_e.shape[-1]), "bilinear")
+        else:
+            yc_e = jax.vmap(lambda fc: cubemap_to_equirect(fc, h, w))(yc)
 
         # BiFuse's final fusion: a learned per-pixel weight map blends the
         # two branch predictions

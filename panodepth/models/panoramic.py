@@ -89,10 +89,15 @@ class PanoBaselineNet(nn.Module):
     # f32 for training; bf16 at inference halves the normalization layers'
     # HBM traffic (see PerspectiveDepthNet.norm_dtype)
     norm_dtype: jnp.dtype = jnp.float32
+    # "fast" = nearest-tap cube->equirect feature projections for the same
+    # checkpoint (see BiFuseNet.proj; gathers are the two-branch families'
+    # TPU bottleneck)
+    proj: str = "bilinear"
 
     @nn.compact
     def __call__(self, rgb):
         b, h, w, _ = rgb.shape
+        taps = "nearest" if self.proj == "fast" else "bilinear"
         x = rgb.astype(self.dtype)
         cube = jax.vmap(lambda img: equirect_to_cubemap(img, w // 4))(x)
         cube = cube.reshape(b * 6, w // 4, w // 4, 3)
@@ -106,7 +111,8 @@ class PanoBaselineNet(nn.Module):
                          norm_dtype=self.norm_dtype)(c)
             eh, ew = e.shape[1], e.shape[2]
             c6 = c.reshape(b, 6, c.shape[1], c.shape[2], width)
-            c2e = jax.vmap(lambda f: cubemap_to_equirect(f, eh, ew))(c6)
+            c2e = jax.vmap(
+                lambda f: cubemap_to_equirect(f, eh, ew, taps))(c6)
             e = UniFuseBlock(width, dtype=self.dtype,
                              norm_dtype=self.norm_dtype)(e, c2e)
             equi_skips.append(e)

@@ -145,7 +145,8 @@ def init_state(model, rng, sample_input, tx=None) -> TrainState:
 
 
 def make_train_step(model, tx=None, grad_weight: float = 0.5,
-                    remat: bool = False) -> Callable:
+                    remat: bool = False, teacher_fn: Optional[Callable] = None,
+                    distill_weight: float = 0.5) -> Callable:
     """Pure (state, batch) -> (state, metrics) step.  batch = (rgb, depth,
     valid_mask).
 
@@ -154,13 +155,24 @@ def make_train_step(model, tx=None, grad_weight: float = 0.5,
     between forward and backward — one extra forward's FLOPs for roughly
     the forward's activation footprint back, the standard TPU lever for
     larger batches/widths when a step OOMs.  Gradients are unchanged
-    (same ops, recomputed)."""
+    (same ops, recomputed).
+
+    ``teacher_fn`` (rgb -> depth01) enables distillation: the loss adds
+    ``distill_weight`` x the same depth loss against the (stop-gradient)
+    teacher prediction — the student matches both the analytic ground
+    truth and a slower high-accuracy family's behavior (the lever behind
+    the TPU-fast baseline family; train_cli ``--distill-from``)."""
     tx = tx or make_optimizer()
     apply = jax.checkpoint(model.apply) if remat else model.apply
 
     def loss_fn(params, rgb, depth, mask):
         pred = apply(params, rgb)
-        return depth_loss(pred, depth, mask, grad_weight)
+        loss = depth_loss(pred, depth, mask, grad_weight)
+        if teacher_fn is not None:
+            t = jax.lax.stop_gradient(teacher_fn(rgb))
+            loss = loss + distill_weight * depth_loss(pred, t, mask,
+                                                      grad_weight)
+        return loss
 
     def step(state: TrainState, batch):
         rgb, depth, mask = batch

@@ -17,7 +17,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .sampling import sample_equirect_bilinear
+from .sampling import sample_equirect_bilinear, sample_equirect_nearest_mc
 
 TWO_PI = 2.0 * np.pi
 
@@ -49,12 +49,21 @@ def _face_dirs(face_size: int) -> np.ndarray:
     return np.stack(dirs)
 
 
-def equirect_to_cubemap(img, face_size: int):
-    """Equirect (H, W, C) -> (6, S, S, C) cube faces, bilinear."""
+def equirect_to_cubemap(img, face_size: int, taps: str = "bilinear"):
+    """Equirect (H, W, C) -> (6, S, S, C) cube faces.
+
+    ``taps="nearest"`` gathers ONE tap per output pixel instead of four —
+    the TPU fast path for *feature-map* projection, where gather cost
+    (proportional to gathered bytes, PERF.md) dominates these nets and
+    sub-pixel interpolation of learned features is not load-bearing
+    (adjudicated by the bifuse fast-proj proof).  Images keep bilinear.
+    """
     dirs = jnp.asarray(_face_dirs(face_size))
     azi = jnp.arctan2(dirs[..., 1], dirs[..., 0]) % TWO_PI
     zen = jnp.arccos(jnp.clip(dirs[..., 2], -1.0, 1.0))
-    return jax.vmap(lambda a, z: sample_equirect_bilinear(img, a, z))(azi, zen)
+    sampler = (sample_equirect_nearest_mc if taps == "nearest"
+               else sample_equirect_bilinear)
+    return jax.vmap(lambda a, z: sampler(img, a, z))(azi, zen)
 
 
 def _cube_lookup(out_h: int, out_w: int, face_size: int):
@@ -90,14 +99,20 @@ def _cube_lookup(out_h: int, out_w: int, face_size: int):
     return face.astype(np.int32), y0, x0, y1, x1, wx, wy
 
 
-def cubemap_to_equirect(faces, out_h: int, out_w: int):
-    """(6, S, S, C) cube faces -> equirect (out_h, out_w, C), bilinear.
+def cubemap_to_equirect(faces, out_h: int, out_w: int,
+                        taps: str = "bilinear"):
+    """(6, S, S, C) cube faces -> equirect (out_h, out_w, C).
 
     Bilinear taps clamp at face edges (no cross-face blending); the one-pixel
-    seam error is negligible for feature maps.
+    seam error is negligible for feature maps.  ``taps="nearest"`` gathers
+    one tap instead of four (see :func:`equirect_to_cubemap`).
     """
     s = faces.shape[1]
     face, y0, x0, y1, x1, wx, wy = _cube_lookup(out_h, out_w, s)
+    if taps == "nearest":
+        yn = np.where(wy >= 0.5, y1, y0)
+        xn = np.where(wx >= 0.5, x1, x0)
+        return faces[face, yn, xn]
     wx = jnp.asarray(wx)[..., None]
     wy = jnp.asarray(wy)[..., None]
     g = lambda yy, xx: faces[face, yy, xx]

@@ -139,6 +139,26 @@ def sample_equirect_bilinear(img, azimuth, zenith):
     return out[..., 0] if squeeze else out
 
 
+def sample_equirect_nearest_mc(img, azimuth, zenith):
+    """Multi-channel nearest equirect sampling with the BILINEAR path's
+    tap convention (the max-weight tap of its 2x2 neighborhood, azimuth
+    wrap included): ONE gather per output pixel instead of four.  The
+    fast path for *feature-map* projection (cubemap.py ``taps="nearest"``)
+    where gather cost — proportional to gathered bytes, PERF.md — is the
+    bottleneck.  Distinct from :func:`sample_equirect_nearest`, the
+    C-cast parity op (pmap.Value semantics, channel-0 only).
+    """
+    squeeze = img.ndim == 2
+    if squeeze:
+        img = img[..., None]
+    h, w = img.shape[:2]
+    x0, x1, y0, y1, wx, wy = _bilinear_coords(h, w, azimuth, zenith)
+    xn = jnp.where(wx[..., 0] >= 0.5, x1, x0)
+    yn = jnp.where(wy[..., 0] >= 0.5, y1, y0)
+    out = img[yn, xn]
+    return out[..., 0] if squeeze else out
+
+
 def pack_rgb_u32(rgb):
     """(H, W, 3) 8-bit RGB (uint8, or f32 0~1 that decoded from 8-bit) ->
     (H, W) uint32 with R|G|B in the low 24 bits.

@@ -18,7 +18,7 @@ import time
 def build_parser():
     p = argparse.ArgumentParser(prog="panodepth-train")
     p.add_argument("model", choices=["perspective", "panoramic", "hohonet",
-                                     "bifuse", "slicenet"])
+                                     "bifuse", "slicenet", "fastpano"])
     p.add_argument("rgb_folder")
     p.add_argument("gt_folder")
     p.add_argument("ckpt_dir")
@@ -54,6 +54,13 @@ def build_parser():
                    help="initialize params from an existing checkpoint "
                         "(orbax dir or .params.npz) — e.g. fine-tune at a "
                         "larger --view-size; optimizer state starts fresh")
+    p.add_argument("--distill-from", default=None, metavar="CKPT",
+                   help="distillation teacher checkpoint (any family with "
+                        "the same input kind): the loss adds "
+                        "--distill-weight x the depth loss against the "
+                        "teacher's stop-gradient prediction on each batch "
+                        "(models/train.py make_train_step)")
+    p.add_argument("--distill-weight", type=float, default=0.5)
     p.add_argument("--trace", default=None, metavar="DIR",
                    help="capture a jax.profiler trace of three steady-state "
                         "steps into DIR (xprof/tensorboard format; process "
@@ -300,6 +307,14 @@ def main(argv=None) -> int:
             slice_dim=max(32, int(256 * s)))
         batch_kind = "pano"
         sample = jnp.zeros((1, args.pano_width // 2, args.pano_width, 3))
+    elif args.model == "fastpano":
+        from .models.fastpano import FastPanoNet
+
+        model = FastPanoNet(
+            widths=tuple(max(8, int(w * s)) for w in (48, 96, 192, 384)),
+            decoder_width=max(16, int(96 * s)))
+        batch_kind = "pano"
+        sample = jnp.zeros((1, args.pano_width // 2, args.pano_width, 3))
     else:
         cls = PanoBaselineNet
         if args.variant == "nf":
@@ -347,9 +362,34 @@ def main(argv=None) -> int:
     batches = make_batches(batch_kind,
                            args.seed + pidx * 9973 + start_step * 131)
 
+    teacher_fn = None
+    if args.distill_from:
+        from .e2e import load_model_checkpoint
+
+        t_nd = jnp.bfloat16 if jax.default_backend() == "tpu" else None
+        t_model, t_params, t_arch = load_model_checkpoint(
+            args.distill_from, norm_dtype=t_nd)
+        t_kind = ("perspective" if t_arch["model"] == "perspective"
+                  else "pano")
+        if t_kind != batch_kind:
+            raise SystemExit(
+                f"--distill-from: teacher family {t_arch['model']} takes "
+                f"{t_kind} batches but {args.model} trains on {batch_kind}")
+        if t_kind == "perspective":
+            from .models.perspective import predict_depth01
+
+            teacher_fn = lambda rgb: predict_depth01(t_params, t_model, rgb)
+        else:
+            teacher_fn = lambda rgb: t_model.apply(t_params, rgb)
+        log(f"[train] distilling from {args.distill_from} "
+            f"(weight {args.distill_weight})")
+
     mesh = mh.global_mesh() if pcnt > 1 else make_mesh((n_dev, 1))
     step_fn = ptrain.shard_train_step(
-        ptrain.make_train_step(model, tx, remat=args.remat), mesh, "dp")
+        ptrain.make_train_step(model, tx, remat=args.remat,
+                               teacher_fn=teacher_fn,
+                               distill_weight=args.distill_weight),
+        mesh, "dp")
     data_sharding = NamedSharding(mesh, P("dp"))
     if pcnt > 1:
         state = mh.replicate(mesh, state)

@@ -307,3 +307,134 @@ def test_new_family_trains(family):
     for _ in range(4):
         state, m = step(state, (rgb, depth, mask))
     assert float(m["loss"]) < float(m0["loss"])
+
+
+def test_fastpano_shapes():
+    from panodepth.models.fastpano import FastPanoNet
+
+    model = FastPanoNet(widths=(8, 16, 16, 32), stage_sizes=(1, 1, 1, 1),
+                        decoder_width=16)
+    params = model.init(jax.random.PRNGKey(7), jnp.zeros((1, 32, 64, 3)))
+    out = jax.jit(model.apply)(params, jnp.zeros((2, 32, 64, 3)))
+    assert out.shape == (2, 32, 64)
+    o = np.asarray(out)
+    assert (o >= 0).all() and (o <= 1).all()
+    with pytest.raises(ValueError):
+        model.apply(params, jnp.zeros((1, 33, 64, 3)))
+
+
+def test_fastpano_azimuth_roll_equivariance():
+    """Circular azimuth padding makes the net exactly equivariant to
+    azimuth rolls by the total stride (the seam column sees its true
+    neighborhood — the property the zero-padded families lack and the
+    cubemap branch exists to provide)."""
+    from panodepth.models.fastpano import FastPanoNet
+
+    model = FastPanoNet(widths=(8, 16, 16, 32), stage_sizes=(1, 1, 1, 1),
+                        decoder_width=16, dtype=jnp.float32)
+    rng = np.random.RandomState(3)
+    rgb = jnp.asarray(rng.rand(1, 32, 64, 3).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(8), rgb)
+    out = model.apply(params, rgb)
+    shift = 32  # total stride of the deepest level
+    out_rolled = model.apply(params, jnp.roll(rgb, shift, axis=2))
+    np.testing.assert_allclose(np.asarray(out_rolled),
+                               np.asarray(jnp.roll(out, shift, axis=2)),
+                               atol=1e-5, rtol=1e-4)
+
+
+def test_distillation_train_step():
+    """make_train_step(teacher_fn=...) adds the stop-gradient teacher term:
+    with a perfect-ground-truth teacher the loss doubles at w=1, and the
+    distilled step still trains."""
+    from panodepth.models.fastpano import FastPanoNet
+
+    model = FastPanoNet(widths=(8, 16, 16, 32), stage_sizes=(1, 1, 1, 1),
+                        decoder_width=16)
+    rng = np.random.RandomState(4)
+    rgb = jnp.asarray(rng.rand(2, 32, 64, 3).astype(np.float32))
+    depth = jnp.asarray(rng.rand(2, 32, 64).astype(np.float32))
+    mask = jnp.ones((2, 32, 64), bool)
+    batch = (rgb, depth, mask)
+    tx = ptrain.make_optimizer(lr=1e-3)
+    state = ptrain.init_state(model, jax.random.PRNGKey(9), rgb[:1], tx)
+
+    plain = jax.jit(ptrain.make_train_step(model, tx))
+    teach = jax.jit(ptrain.make_train_step(
+        model, tx, teacher_fn=lambda r: depth, distill_weight=1.0))
+    _, m_plain = plain(state, batch)
+    _, m0 = teach(state, batch)
+    np.testing.assert_allclose(2 * float(m_plain["loss"]),
+                               float(m0["loss"]), rtol=1e-5)
+    for _ in range(4):
+        state, m = teach(state, batch)
+    assert float(m["loss"]) < float(m0["loss"])
+
+
+def test_fastpano_checkpoint_roundtrip(tmp_path):
+    """save_params_npz + the fastpano arch sidecar reload through
+    load_model_checkpoint (the CLI --baseline-ckpt path)."""
+    import json
+
+    from panodepth.e2e import load_model_checkpoint
+    from panodepth.models.fastpano import FastPanoNet
+
+    model = FastPanoNet(widths=(48, 96, 192, 384), decoder_width=96)
+    params = jax.eval_shape(model.init, jax.random.PRNGKey(0),
+                            jnp.zeros((1, 32, 64, 3)))
+    params = jax.tree.map(lambda s: jnp.zeros(s.shape, jnp.float32), params)
+    ptrain.save_params_npz(str(tmp_path / "fastpano_final.params.npz"),
+                           params)
+    with open(tmp_path / "fastpano.config.json", "w") as fp:
+        json.dump(dict(model="fastpano", width_scale=1.0, view_size=256,
+                       pano_width=64), fp)
+    m2, p2, arch = load_model_checkpoint(
+        str(tmp_path / "fastpano_final.params.npz"))
+    assert isinstance(m2, FastPanoNet) and arch["model"] == "fastpano"
+    assert jax.tree.structure(p2) == jax.tree.structure(params)
+
+
+def test_cubemap_nearest_taps():
+    """taps="nearest" picks the max-weight bilinear tap (exactly equal to
+    bilinear when the sample lands on a pixel center) and runs 1 gather."""
+    rng = np.random.RandomState(11)
+    faces = jnp.asarray(rng.rand(6, 8, 8, 4).astype(np.float32))
+    bi = cubemap_to_equirect(faces, 16, 32)
+    ne = cubemap_to_equirect(faces, 16, 32, taps="nearest")
+    assert ne.shape == bi.shape
+    # nearest output values all exist in the face set; error bounded by
+    # the neighborhood spread
+    assert float(jnp.max(jnp.abs(ne - bi))) < 1.0
+    img = jnp.asarray(rng.rand(16, 32, 3).astype(np.float32))
+    cb = equirect_to_cubemap(img, 8)
+    cn = equirect_to_cubemap(img, 8, taps="nearest")
+    assert cn.shape == cb.shape
+    assert float(jnp.max(jnp.abs(cn - cb))) < 1.0
+
+
+def test_bifuse_fast_proj_close():
+    """proj="fast" runs the SAME checkpoint with nearest-tap projections:
+    outputs stay close to the bilinear graph (the cheap-gather inference
+    path; on-chip A/B + proof adjudicate the default)."""
+    from panodepth.models.bifuse import BiFuseNet
+
+    rng = np.random.RandomState(12)
+    rgb = jnp.asarray(rng.rand(1, 32, 64, 3).astype(np.float32))
+    model = BiFuseNet(widths=(8, 16, 16, 32))
+    params = model.init(jax.random.PRNGKey(13), rgb)
+    out = model.apply(params, rgb)
+    fast = BiFuseNet(widths=(8, 16, 16, 32), proj="fast")
+    out_f = fast.apply(params, rgb)  # identical param tree
+    # at these toy shapes (16 px cube faces) nearest-vs-bilinear feature
+    # deviation is large relative to real 512-wide inference; this guards
+    # the plumbing, the on-chip eval/proof adjudicates accuracy
+    d = float(jnp.max(jnp.abs(out - out_f)))
+    assert d < 0.3, d
+    # and the panoramic family's variant
+    from panodepth.models.panoramic import PanoBaselineNet as PBN
+
+    m = PBN(widths=(8, 16, 16, 32))
+    p = m.init(jax.random.PRNGKey(14), rgb)
+    o = m.apply(p, rgb)
+    of = PBN(widths=(8, 16, 16, 32), proj="fast").apply(p, rgb)
+    assert float(jnp.max(jnp.abs(o - of))) < 0.15
