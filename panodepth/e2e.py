@@ -292,16 +292,33 @@ def build_batched_e2e(persp_model, persp_params, cfg: MergeConfig,
     on_tpu = jax.default_backend() == "tpu"
 
     def models_stage(pparams, bparams, rgbs, baselines=None):
+        import os
+
         from .ops.sampling import (pack_rgb_u32,
                                    sample_equirect_bilinear_packed)
 
         ex_mode = _resolve_extract_dtype(extract_dtype, rgbs.dtype, on_tpu)
         rgbs01 = _as01_img(rgbs)
         if baselines is None:
-            rb_src = (rgbs01 if ex_mode == "f32"
-                      else rgbs01.astype(jnp.bfloat16))
-            rb = jax.vmap(lambda r: jax.image.resize(
-                r, (base_w // 2, base_w, 3), "bilinear"))(rb_src)
+            feed = os.environ.get("PANODEPTH_BASE_FEED", "bilinear")
+            b_, h_, w_, _ = rgbs.shape
+            if (feed == "box" and rgbs.dtype == jnp.uint8
+                    and h_ % (base_w // 2) == 0 and w_ % base_w == 0):
+                # integer-factor box downsample straight from the streamed
+                # uint8 (one reshape-mean; reads 1/4 the bytes of the
+                # f32 bilinear feed and skips the full-res 0~1
+                # materialization) — A/B'd vs the anti-aliased bilinear
+                # feed before any default flip (a rect vs triangle
+                # filter difference at 4x reduction)
+                fh, fw = h_ // (base_w // 2), w_ // base_w
+                rb = rgbs.reshape(b_, base_w // 2, fh, base_w, fw, 3)
+                rb = (rb.astype(jnp.float32).mean((2, 4)) / 255.0)
+                rb = rb.astype(jnp.bfloat16)
+            else:
+                rb_src = (rgbs01 if ex_mode == "f32"
+                          else rgbs01.astype(jnp.bfloat16))
+                rb = jax.vmap(lambda r: jax.image.resize(
+                    r, (base_w // 2, base_w, 3), "bilinear"))(rb_src)
             baselines = base_model.apply(bparams, rb)
         else:
             baselines = _as01_img(baselines)

@@ -47,7 +47,9 @@ def main():
 
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 24
     ed = sys.argv[2] if len(sys.argv) > 2 else "auto"
-    cfg = MergeConfig(out_width=2048)
+    # output resolution override (4096 stage splits: VERDICT r5 #5)
+    ow = int(os.environ.get("PANODEPTH_PROFILE_WIDTH", "2048"))
+    cfg = MergeConfig(out_width=ow)
     nd = jnp.bfloat16 if jax.default_backend() == "tpu" else None
     pm, pp, pa = load_model_checkpoint("zoo/perspective_final.params.npz",
                                        norm_dtype=nd)
@@ -58,7 +60,7 @@ def main():
         base_model=bm, base_params=bp, base_w=ba.get("pano_width", 512),
         extract_dtype=ed)
     rng = np.random.RandomState(1)
-    rgbs = jnp.asarray(rng.randint(0, 256, (batch, 1024, 2048, 3))
+    rgbs = jnp.asarray(rng.randint(0, 256, (batch, ow // 2, ow, 3))
                        .astype(np.uint8))
 
     t_full = time_ms(full, rgbs)
@@ -68,6 +70,8 @@ def main():
     t_fuse = time_ms(fuse, baselines, pmaps)
     print(json.dumps({
         "backend": jax.default_backend(), "batch": batch, "extract": ed,
+        "out_width": ow,
+        "base_feed": os.environ.get("PANODEPTH_BASE_FEED", "bilinear"),
         "full_ms_per_pano": round(t_full / batch, 3),
         "models_ms_per_pano": round(t_models / batch, 3),
         "fuse_ms_per_pano": round(t_fuse / batch, 3),
