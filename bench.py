@@ -157,7 +157,16 @@ def chip_lock():
             return fp  # hold until process exit
         except OSError:
             if time.time() >= deadline:
-                return fp  # proceed unlocked; better than forfeiting
+                # proceed unlocked; better than forfeiting — but mark
+                # every record of this run as possibly contended
+                _RUN_FLAGS["lock_timeout"] = True
+                print(json.dumps({
+                    "metric": "bench_warning", "value": 0.0,
+                    "unit": "warning", "vs_baseline": 0.0,
+                    "warning": "chip lock wait expired; running "
+                               "contended (lock_timeout on all records)"}),
+                    flush=True)
+                return fp
             time.sleep(5.0)
 
 
@@ -180,6 +189,12 @@ def timed_trials(run_reps):
     return med, spread
 
 
+# anomaly markers attached to every emitted record: "lock_timeout" when
+# the bounded chip-lock wait expired and the run proceeded contended
+# (ADVICE r4 — contended numbers must be attributable)
+_RUN_FLAGS: dict = {}
+
+
 def emit(metric, panos_per_sec, spread, extra=None):
     global _primary_rec
     rec = {
@@ -189,6 +204,7 @@ def emit(metric, panos_per_sec, spread, extra=None):
         "vs_baseline": round(panos_per_sec / NORTH_STAR, 3),
         "spread": round(spread, 4),
     }
+    rec.update(_RUN_FLAGS)
     if extra:
         rec.update(extra)
     print(json.dumps(rec), flush=True)
@@ -411,7 +427,12 @@ def main() -> None:
         # the ledger; replay the freshest primary capture rather than
         # discarding the record (exit 0 — the line is labeled stale).
         if _primary_rec is not None:
-            print(json.dumps(_primary_rec), flush=True)
+            # the primary landed but later sections did not: a driver
+            # parsing the final line must see the truncation (ADVICE r4)
+            print(json.dumps({
+                **_primary_rec, "partial": True,
+                "note": "watchdog abort mid-run; sections after this "
+                        "record did not complete"}), flush=True)
             os._exit(0)
         if emit_stale_replay("tunnel wedged mid-run (watchdog)"):
             os._exit(0)

@@ -171,6 +171,21 @@ def main(argv=None) -> int:
         # read at trace time by models/perspective._percentile99; the env
         # form doubles as the test/bench hook
         os.environ["PANODEPTH_P99"] = args.p99
+    # flags that only the on-device model mode honors must refuse, not
+    # silently no-op, elsewhere (mirrors the hohonet/slicenet --base-width
+    # refusal in run_batch_e2e)
+    if not args.persp_ckpt:
+        if args.persp_int8:
+            raise SystemExit("--persp-int8 applies to the on-device model "
+                             "mode only; pass --persp-ckpt")
+        if args.base_width:
+            raise SystemExit("--base-width applies to the on-device model "
+                             "mode only; pass --persp-ckpt + "
+                             "--baseline-ckpt")
+    elif args.base_width and not args.baseline_ckpt:
+        raise SystemExit("--base-width resizes a --baseline-ckpt model's "
+                         "input; baseline FILES (--baseline-folder) are "
+                         "consumed at their stored size")
     with tracer:
         if args.persp_ckpt:
             from .e2e import run_batch_e2e

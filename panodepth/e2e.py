@@ -502,8 +502,6 @@ def run_batch_e2e(rgb_folder: str, gt_folder: str, result_folder: str,
         base_model, base_params, base_arch = load_model_checkpoint(
             baseline_ckpt, norm_dtype=norm_dtype)
         # fixed-width families (hohonet's column decoder) must run at their
-        # training resolution; the 0~1 baseline works at any size downstream
-        # fixed-width families (hohonet's column decoder) must run at their
         # training resolution; the fully-conv families accept overrides
         # (e.g. --base-width 256 quarters the baseline CNN's cost — the
         # fused output re-imposes the views' detail either way; accuracy

@@ -30,6 +30,25 @@ from panodepth.config import MergeConfig, ViewLayout, register_layout
 
 D2R = math.pi / 180.0
 
+# ``pytest -m quick``: the parity-critical gate (~30 s warm) — the fast
+# green signal on this 1-vCPU box, where the full suite takes ~30 min.
+# The full suite remains the pre-release bar.
+_QUICK_MODULES = {"test_parity_default", "test_golden_seam", "test_fusion",
+                  "test_registration", "test_config"}
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "quick: parity-critical fast gate (pytest -m quick)")
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = getattr(item, "module", None)
+        name = mod.__name__.rsplit(".", 1)[-1] if mod else ""
+        if name in _QUICK_MODULES:
+            item.add_marker(pytest.mark.quick)
+
 
 def smooth_depth(azi, zen):
     """Smooth synthetic 0~1 depth field on the sphere (seam-continuous)."""
