@@ -246,10 +246,18 @@ def bench_merge(out_width: int, batch: int) -> None:
          1.0 / per_item, spread, {"batch": batch})
 
 
+def _e2e_base_ckpt() -> str:
+    """The shipping e2e baseline family: the TPU-fast FastPanoNet when its
+    promoted weights are present (r5), else the UniFuse-class net."""
+    fp = os.path.join(ZOO, "fastpano_final.params.npz")
+    return fp if os.path.exists(fp) else os.path.join(
+        ZOO, "panoramic_final.params.npz")
+
+
 def bench_e2e() -> None:
     """On-device model mode: RGB -> models -> registration -> fusion."""
     persp = os.path.join(ZOO, "perspective_final.params.npz")
-    base = os.path.join(ZOO, "panoramic_final.params.npz")
+    base = _e2e_base_ckpt()
     if not (os.path.exists(persp) and os.path.exists(base)):
         return
     from panodepth.config import MergeConfig
@@ -325,7 +333,7 @@ def bench_e2e() -> None:
 def bench_e2e_4096() -> None:
     """On-device model mode at 4096x2048 output (4-level pyramid)."""
     persp = os.path.join(ZOO, "perspective_final.params.npz")
-    base = os.path.join(ZOO, "panoramic_final.params.npz")
+    base = _e2e_base_ckpt()
     if not (os.path.exists(persp) and os.path.exists(base)):
         return
     from panodepth.config import MergeConfig
