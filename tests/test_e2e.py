@@ -416,3 +416,39 @@ def test_run_batch_e2e_persp_int8(tmp_path):
         # same scenes through both graphs: registration + fusion damp the
         # CNN-side PTQ noise; require close agreement in the 0~1 encoding
         assert np.sqrt(np.mean((a - b) ** 2)) < 0.02
+
+
+def test_box_base_feed_exact_and_gated(monkeypatch):
+    """PANODEPTH_BASE_FEED=box: the baseline CNN input is the exact
+    integer-factor box mean of the streamed uint8 panorama (bf16-rounded);
+    non-u8 or non-divisible inputs silently keep the bilinear feed."""
+    from panodepth.e2e import build_batched_e2e
+
+    rng = np.random.RandomState(5)
+    rgb_u8 = rng.randint(0, 256, (1, 64, 128, 3)).astype(np.uint8)
+    persp = PerspectiveDepthNet(stage_sizes=(1, 1, 1, 1),
+                                widths=(8, 16, 16, 32), decoder_width=16)
+    pp = persp.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+
+    class SpyBase:
+        """Baseline 'model' that leaks its input feed's red channel as the
+        baseline map, so the jitted stage exposes the feed for checking."""
+
+        def apply(self, params, rb):
+            return rb[..., 0].astype(jnp.float32)
+
+    monkeypatch.setenv("PANODEPTH_BASE_FEED", "box")
+    _, models, _ = build_batched_e2e(
+        persp, pp, E2E_CFG, view_width=64, base_model=SpyBase(),
+        base_params={}, base_w=64)
+    rb_r = np.asarray(models(jnp.asarray(rgb_u8))[0], np.float32)
+    want = (rgb_u8[..., 0].reshape(1, 32, 2, 64, 2).astype(np.float64)
+            .mean((2, 4)) / 255.0)
+    np.testing.assert_allclose(rb_r, want, atol=1.0 / 255.0)  # bf16 cast
+
+    # f32 input: the box path must NOT engage (stays bilinear)
+    rb_f = np.asarray(
+        models(jnp.asarray(rgb_u8.astype(np.float32) / 255.0))[0],
+        np.float32)
+    assert rb_f.shape == rb_r.shape
+    assert not np.allclose(rb_f, want, atol=1e-4)
