@@ -55,15 +55,21 @@ class CircConv(nn.Module):
     strides: tuple = (1, 1)
     use_bias: bool = True
     dtype: jnp.dtype = jnp.bfloat16
+    # "same" drops the wrap pad (zero padding; WRONG at the seam) — a
+    # perf-diagnostic mode only (scripts/fastpano_diag.py), never shipped
+    pad: str = "circ"
 
     @nn.compact
     def __call__(self, x):
         kh, kw = self.kernel
         ph, pw = (kh - 1) // 2, (kw - 1) // 2
-        if pw:
+        if pw and self.pad == "circ":
             x = jnp.concatenate([x[:, :, -pw:], x, x[:, :, :pw]], axis=2)
+            wpad = (0, 0)
+        else:
+            wpad = (pw, pw)
         return nn.Conv(self.features, self.kernel, self.strides,
-                       padding=[(ph, ph), (0, 0)], use_bias=self.use_bias,
+                       padding=[(ph, ph), wpad], use_bias=self.use_bias,
                        dtype=self.dtype, name="conv")(x)
 
 
@@ -75,16 +81,17 @@ class CircResBlock(nn.Module):
     stride: int = 1
     dtype: jnp.dtype = jnp.bfloat16
     norm_dtype: jnp.dtype = jnp.float32
+    pad: str = "circ"
 
     @nn.compact
     def __call__(self, x):
         gn = lambda **kw: GroupNorm(num_groups=_groups(self.features),
                                     dtype=self.norm_dtype, **kw)
         y = CircConv(self.features, (3, 3), (self.stride, self.stride),
-                     use_bias=False, dtype=self.dtype)(x)
+                     use_bias=False, dtype=self.dtype, pad=self.pad)(x)
         y = gn(fuse_relu=True)(y)
         y = CircConv(self.features, (3, 3), use_bias=False,
-                     dtype=self.dtype)(y)
+                     dtype=self.dtype, pad=self.pad)(y)
         y = gn()(y)
         if x.shape[-1] != self.features or self.stride != 1:
             x = nn.Conv(self.features, (1, 1),
@@ -101,18 +108,20 @@ class CircFusionBlock(nn.Module):
     features: int
     dtype: jnp.dtype = jnp.bfloat16
     norm_dtype: jnp.dtype = jnp.float32
+    pad: str = "circ"
 
     @nn.compact
     def __call__(self, x, skip=None):
         b, h, w, c = x.shape
         x = jax.image.resize(x, (b, h * 2, w * 2, c), "nearest")
-        x = CircConv(self.features, (3, 3), dtype=self.dtype)(x)
+        x = CircConv(self.features, (3, 3), dtype=self.dtype,
+                     pad=self.pad)(x)
         if skip is not None:
             skip = CircConv(self.features, (3, 3), use_bias=False,
-                            dtype=self.dtype)(skip)
+                            dtype=self.dtype, pad=self.pad)(skip)
             x = x + skip
         return CircResBlock(self.features, dtype=self.dtype,
-                            norm_dtype=self.norm_dtype)(x)
+                            norm_dtype=self.norm_dtype, pad=self.pad)(x)
 
 
 class GlobalContext(nn.Module):
@@ -169,6 +178,7 @@ class FastPanoNet(nn.Module):
     # f32 for training; bf16 at inference halves the normalization layers'
     # HBM traffic (see PerspectiveDepthNet.norm_dtype)
     norm_dtype: jnp.dtype = jnp.float32
+    pad: str = "circ"  # "same" = perf diagnostic only (seam-incorrect)
 
     @nn.compact
     def __call__(self, rgb):
@@ -183,7 +193,7 @@ class FastPanoNet(nn.Module):
         x = jnp.concatenate([x, lat], axis=-1)
 
         x = CircConv(self.widths[0] // 2, (5, 5), (2, 2), use_bias=False,
-                     dtype=self.dtype)(x)
+                     dtype=self.dtype, pad=self.pad)(x)
         x = GroupNorm(num_groups=_groups(x.shape[-1]),
                       dtype=self.norm_dtype, fuse_relu=True)(x)
 
@@ -191,23 +201,26 @@ class FastPanoNet(nn.Module):
         for blocks, width in zip(self.stage_sizes, self.widths):
             for i in range(blocks):
                 x = CircResBlock(width, stride=2 if i == 0 else 1,
-                                 dtype=self.dtype,
+                                 dtype=self.dtype, pad=self.pad,
                                  norm_dtype=self.norm_dtype)(x)
             skips.append(x)
         x = GlobalContext(self.widths[-1], dtype=self.dtype)(x)
 
         y = CircConv(self.decoder_width, (3, 3), use_bias=False,
-                     dtype=self.dtype)(x)
+                     dtype=self.dtype, pad=self.pad)(x)
         for skip in reversed(skips[:-1]):
             y = CircFusionBlock(self.decoder_width, dtype=self.dtype,
-                                norm_dtype=self.norm_dtype)(y, skip)
+                                norm_dtype=self.norm_dtype,
+                                pad=self.pad)(y, skip)
         y = CircFusionBlock(self.decoder_width, dtype=self.dtype,
-                            norm_dtype=self.norm_dtype)(y)  # to H/2
+                            norm_dtype=self.norm_dtype,
+                            pad=self.pad)(y)  # to H/2
 
-        y = CircConv(self.decoder_width // 2, (3, 3), dtype=self.dtype)(y)
+        y = CircConv(self.decoder_width // 2, (3, 3),
+                     dtype=self.dtype, pad=self.pad)(y)
         y = nn.relu(y)
         y = _circ_upsample2_bilinear(y)
-        y = CircConv(32, (3, 3), dtype=self.dtype)(y)
+        y = CircConv(32, (3, 3), dtype=self.dtype, pad=self.pad)(y)
         y = nn.relu(y)
         y = nn.Conv(1, (1, 1), dtype=jnp.float32)(y)
         return nn.sigmoid(y[..., 0])
