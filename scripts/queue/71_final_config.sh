@@ -31,5 +31,11 @@ ab fastpano "$fp" || rc=1
 ab fastpano_box "$fp" PANODEPTH_BASE_FEED=box || rc=1
 ab fastpano_box_pair16 "$fp" PANODEPTH_BASE_FEED=box BENCH_E2E_EXTRACT=pair16 || rc=1
 ab fastpano_pair16 "$fp" BENCH_E2E_EXTRACT=pair16 || rc=1
+# batch sweep on the combined config — the old graph's sharp b24 sweet
+# spot need not hold for the cheaper baseline + halved extraction gathers
+for b in 20 28 32; do
+  ab "fastpano_box_pair16_b$b" "$fp" PANODEPTH_BASE_FEED=box \
+      BENCH_E2E_EXTRACT=pair16 BENCH_E2E_BATCH=$b || rc=1
+done
 cat "$out"
 exit $rc
