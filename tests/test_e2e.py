@@ -227,18 +227,19 @@ def test_batched_e2e_packed_extraction_matches_f32():
     assert np.abs(outs["f32"] - outs["packed"]).max() <= 2
 
 
-def test_resolve_extract_dtype_auto_is_exact():
-    """'auto' picks the packed table only where packing is exact: uint8
-    sources on TPU.  Wider sources (16-bit PNG, PFM floats) must never be
-    silently quantized to 8 bits per channel; explicit modes pass through."""
+def test_resolve_extract_dtype_auto_policy():
+    """'auto' engages a quantizing table only for uint8 sources on TPU
+    (pair16 since its r5 12/12 accuracy proof, docs/logs_r5/).  Wider
+    sources (16-bit PNG, PFM floats) must never be silently quantized;
+    explicit modes pass through."""
     from panodepth.e2e import _resolve_extract_dtype as r
 
-    assert r("auto", jnp.uint8, on_tpu=True) == "packed"
+    assert r("auto", jnp.uint8, on_tpu=True) == "pair16"
     for wide in (jnp.uint16, jnp.float32):
         assert r("auto", wide, on_tpu=True) == "f32"
     for d in (jnp.uint8, jnp.uint16, jnp.float32):
         assert r("auto", d, on_tpu=False) == "f32"
-        for explicit in ("packed", "bf16", "f32"):
+        for explicit in ("packed", "pair16", "bf16", "f32"):
             assert r(explicit, d, on_tpu=True) == explicit
 
 
